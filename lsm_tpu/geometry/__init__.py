@@ -1,0 +1,4 @@
+from .queries import (
+    volume, perimeter, curvature, gradient, grad_norm, normal, hessian,
+    union, intersection, complement, difference, smooth_heaviside, smooth_delta,
+)

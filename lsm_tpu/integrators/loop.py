@@ -1,0 +1,108 @@
+"""Device-resident time-loop drivers.
+
+Two compiled forms of the reference's ``_integrate!`` outer loop
+(``/root/reference/src/timestepping.jl:101-122``):
+
+- :func:`evolve` — adaptive CFL-driven ``lax.while_loop`` landing exactly on
+  ``tf``. The state-dependent ``dt`` makes this the fast forward-only path.
+- :func:`rollout` — fixed-step ``lax.scan`` over ``nsteps``; fully reverse-mode
+  differentiable (gradients of the evolved phi flow through every step), the
+  path the reference never had.
+
+Both re-update state-dependent terms before the step (so ``dt`` reflects the speed
+actually used) and at every RK stage, matching the reference semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.field import MeshField
+from ..terms.terms import compute_cfl, update_terms
+from .explicit import TimeIntegrator
+
+__all__ = ["evolve", "rollout", "step"]
+
+
+@partial(jax.jit, static_argnames=("integrator",))
+def step(integrator: TimeIntegrator, terms, phi: MeshField, t, dt):
+    """One accepted step of ``integrator`` (jitted, shared by all drivers)."""
+    return integrator.advance(terms, phi, t, dt)
+
+
+@partial(jax.jit, static_argnames=("integrator", "max_steps"))
+def evolve(
+    integrator: TimeIntegrator,
+    terms,
+    phi: MeshField,
+    t0,
+    tf,
+    dt_max=jnp.inf,
+    max_steps: Optional[int] = None,
+):
+    """Evolve ``phi`` from ``t0`` to exactly ``tf`` with adaptive CFL time steps,
+    entirely on device (``lax.while_loop``). Returns ``(phi, terms, nsteps)``.
+
+    ``max_steps`` optionally bounds the iteration count (guards against a
+    vanishing CFL); the loop also stops if ``dt`` becomes non-positive or NaN.
+    """
+    dtype = phi.dtype
+    t0 = jnp.asarray(t0, dtype)
+    tf = jnp.asarray(tf, dtype)
+    eps = jnp.finfo(dtype).eps
+
+    def cond(carry):
+        phi, terms, t, n, ok = carry
+        in_time = t <= tf - eps * jnp.maximum(jnp.abs(tf), 1.0)
+        if max_steps is not None:
+            in_time = jnp.logical_and(in_time, n < max_steps)
+        return jnp.logical_and(in_time, ok)
+
+    def body(carry):
+        phi, terms, t, n, ok = carry
+        terms = update_terms(terms, phi, t)
+        dt = jnp.minimum(
+            jnp.minimum(dt_max, integrator.cfl * compute_cfl(terms, phi, t)), tf - t
+        )
+        ok = jnp.logical_and(ok, dt > 0)
+        phi_new, terms_new = integrator.advance(terms, phi, t, dt)
+        return phi_new, terms_new, t + dt, n + 1, ok
+
+    phi, terms, t, n, ok = jax.lax.while_loop(
+        cond, body, (phi, terms, t0, jnp.asarray(0, jnp.int32), jnp.asarray(True))
+    )
+    return phi, terms, n
+
+
+@partial(jax.jit, static_argnames=("integrator", "nsteps", "unroll"))
+def rollout(
+    integrator: TimeIntegrator,
+    terms,
+    phi: MeshField,
+    t0,
+    dt,
+    nsteps: int,
+    unroll: int = 1,
+):
+    """Fixed-step differentiable rollout: ``nsteps`` steps of size ``dt`` under
+    ``lax.scan``. Returns ``(phi, terms)`` at ``t0 + nsteps * dt``.
+
+    Use :func:`jax.checkpoint` around the caller (or small ``nsteps`` blocks) to
+    trade recompute for memory on long horizons.
+    """
+    dtype = phi.dtype
+    dt = jnp.asarray(dt, dtype)
+
+    def body(carry, _):
+        phi, terms, t = carry
+        phi, terms = integrator.advance(terms, phi, t, dt)
+        return (phi, terms, t + dt), None
+
+    (phi, terms, _), _ = jax.lax.scan(
+        body, (phi, terms, jnp.asarray(t0, dtype)), None, length=nsteps, unroll=unroll
+    )
+    return phi, terms
