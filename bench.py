@@ -1,0 +1,98 @@
+"""North-star benchmark: grid-cell updates/sec/chip for the 3D 512^3 WENO5 step.
+
+Runs a WENO5 advection Hamiltonian + forward-Euler update (one Hamiltonian
+evaluation per cell per step — the unit the reference's hot loop performs per node,
+SURVEY.md section 3.2) on the largest 3D grid that fits, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "cell-updates/s", "vs_baseline": R}
+
+``vs_baseline`` is measured against the speed-of-light estimate for this kernel on
+the local chip: the minimum HBM traffic is read phi (4B) + read 3 velocity
+components (12B) + write phi (4B) = 20 B/cell-update, so
+``roofline = HBM_BW / 20``. The reference publishes no benchmark numbers
+(BASELINE.md), so the roofline ratio doubles as the per-chip efficiency target
+(>= 0.8 per BASELINE.json).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+# HBM bandwidth (bytes/s) per chip by TPU generation; fallback is v5e.
+_HBM_BW = {
+    "v4": 1.2e12,
+    "v5 lite": 8.19e11,
+    "v5e": 8.19e11,
+    "v5p": 2.765e12,
+    "v6 lite": 1.64e12,
+    "v6e": 1.64e12,
+}
+
+
+def _hbm_bw(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, bw in _HBM_BW.items():
+        if key in kind:
+            return bw
+    return 8.19e11
+
+
+def main():
+    import lsm_tpu as lsm
+    from lsm_tpu.models import shapes
+
+    n = int(os.environ.get("BENCH_N", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    dtype = jnp.float32
+
+    dev = jax.devices()[0]
+    grid = lsm.Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (n, n, n))
+    phi = lsm.sample(shapes.zalesak_sphere(), grid, lsm.Periodic(), dtype=dtype)
+    vel = lsm.sample(
+        lambda X, Y, Z: (0.5 - Y + 0.0 * (X + Z),
+                         X - 0.5 + 0.0 * (Y + Z),
+                         0.0 * (X + Y + Z)),
+        grid, vector=True, dtype=dtype,
+    )
+    term = lsm.AdvectionTerm(vel)
+    dt = dtype(0.25 * grid.min_spacing)
+
+    from functools import partial
+
+    # NOTE: the step loop is host-driven on purpose. jitted flat graphs execute as
+    # one fused device call (dispatch ~0.03 ms), while lax.fori_loop bodies are
+    # executed op-by-op by the axon runtime (~100x slower measured) — see
+    # docs/perf-notes.md. The input buffer is donated so steps update in place.
+    @partial(jax.jit, donate_argnums=(0,))
+    def one_step(phi_values):
+        f = phi.with_values(phi_values)
+        return phi_values - dt * term.rhs(f, dtype(0.0))
+
+    # warm-up / compile
+    v = one_step(phi.values)
+    v.block_until_ready()
+
+    # timed: `steps` sequential Hamiltonian+update evaluations
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        v = one_step(v)
+    v.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    cells = float(grid.num_nodes) * steps
+    rate = cells / elapsed
+    roofline = _hbm_bw(dev) / 20.0  # 20 B minimum HBM traffic per cell-update
+    result = {
+        "metric": f"grid-cell updates/sec/chip ({n}^3 WENO5 advection step, {dev.device_kind})",
+        "value": rate,
+        "unit": "cell-updates/s",
+        "vs_baseline": rate / roofline,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,8 @@ from .terms.terms import (
 from .integrators.explicit import ForwardEuler, RK2, RK3, TimeIntegrator
 from .integrators.loop import evolve, rollout, step
 from .equation import LevelSetEquation
+from .reinit.eikonal import reinitialize
+from .reinit.velocity_extension import extend_along_normals
 from .geometry.queries import (
     volume,
     perimeter,
@@ -74,6 +76,8 @@ __all__ = [
     "rollout",
     "step",
     "LevelSetEquation",
+    "reinitialize",
+    "extend_along_normals",
     "volume",
     "perimeter",
     "curvature",

@@ -1,0 +1,141 @@
+"""Device-resident PDE reinitialization to a signed distance function.
+
+Replaces the reference's KDTree + Newton closest-point ``reinitialize!``
+(``/root/reference/src/reinitializer.jl``, ``src/sdf.jl``) with an iterated
+Hamilton-Jacobi pseudo-time solve — the TPU-native formulation anticipated by the
+reference's own ``EikonalReinitializationTerm`` (``src/levelsetterms.jl:190-265``):
+
+    d phi / d tau = - sign(phi0) (|grad phi| - 1)
+
+discretized with the Godunov Hamiltonian + second-order ENO one-sided derivatives,
+plus the Russo-Smereka subcell fix (Russo & Smereka 2000, "A remark on computing
+distance functions") at interface-adjacent nodes so the zero contour does not move:
+there the update relaxes ``phi`` toward the subcell distance estimate
+``D = phi0 / |grad phi0|`` instead of solving the PDE, pinning the interface.
+
+The whole solve is a single fused ``lax.fori_loop`` of elementwise stencil updates —
+no host sync, no trees, differentiable, shardable. The high-order Newton
+closest-point oracle lives separately in :mod:`lsm_tpu.interp.sdf`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.field import MeshField
+from ..ops import stencils as st
+
+__all__ = ["reinitialize", "reinit_rhs"]
+
+
+def _subcell_distance(p0, spacing, g, shape):
+    """Per-node signed distance estimate ``D = phi0 / |grad phi0|`` with a robust
+    gradient magnitude: per dimension the largest of |forward|, |backward| and
+    |centered| difference (Russo-Smereka's denominator, generalized to N-D), so a
+    local extremum across the interface cannot zero the denominator."""
+    grad_sq = 0.0
+    for ax, h in enumerate(spacing):
+        fwd = jnp.abs(st.dp(p0, ax, h, g, shape))
+        bwd = jnp.abs(st.dm(p0, ax, h, g, shape))
+        cen = jnp.abs(st.d0(p0, ax, h, g, shape))
+        grad_sq = grad_sq + jnp.maximum(jnp.maximum(fwd, bwd), cen) ** 2
+    grad = jnp.sqrt(grad_sq)
+    phi0 = st.shift(p0, (0,) * len(shape), g, shape)
+    eps = jnp.finfo(p0.dtype).eps
+    return phi0 / jnp.maximum(grad, eps)
+
+
+def _interface_mask(p0, g, shape):
+    """Nodes with an opposite-sign (or zero-crossing) neighbor along any axis."""
+    n = len(shape)
+    c = st.shift(p0, (0,) * n, g, shape)
+    mask = jnp.zeros(shape, dtype=bool)
+    for ax in range(n):
+        for k in (-1, 1):
+            nb = st.shift(p0, tuple(k if d == ax else 0 for d in range(n)), g, shape)
+            mask = jnp.logical_or(mask, c * nb < 0)
+    mask = jnp.logical_or(mask, c == 0)
+    return mask
+
+
+def reinit_rhs(phi: MeshField, s0_values: jnp.ndarray) -> jnp.ndarray:
+    """Pseudo-time RHS ``s0 (|grad phi| - 1)`` with frozen smoothed sign ``s0``
+    (the away-from-interface part of the update)."""
+    g = st.PAD_ENO2
+    p = phi.pad(g)
+    grad_p, grad_m = st.godunov_norms(p, phi.spacing, g, phi.shape)
+    norm = jnp.where(s0_values > 0, grad_p, grad_m)
+    return s0_values * (norm - 1.0)
+
+
+@partial(jax.jit, static_argnames=("iters", "subcell"))
+def _reinitialize_impl(phi: MeshField, iters: int, cfl, subcell: bool, band_width):
+    g = st.PAD_ENO2
+    dx = phi.grid.min_spacing
+    dtau = cfl * dx
+    dtype = phi.dtype
+
+    p0 = phi.pad(g)
+    # frozen smoothed sign (O-F eq. 7.5)
+    s0 = phi.values / jnp.sqrt(phi.values**2 + dx * dx)
+    iface = _interface_mask(p0, g, phi.shape)
+    D = _subcell_distance(p0, phi.spacing, g, phi.shape)
+    sgn0 = jnp.sign(phi.values)
+
+    if band_width is not None:
+        # freeze nodes far outside the band: their value only needs the right sign
+        active = jnp.abs(phi.values) <= band_width
+    else:
+        active = None
+
+    def body(_, f):
+        pde = f.values - dtau * reinit_rhs(f, s0)
+        if subcell:
+            # Russo-Smereka: relax toward the subcell distance at interface nodes
+            sub = f.values - (dtau / dx) * (sgn0 * jnp.abs(f.values) - D)
+            new = jnp.where(iface, sub, pde)
+        else:
+            new = pde
+        if active is not None:
+            new = jnp.where(active, new, f.values)
+        return f.with_values(new.astype(dtype))
+
+    return jax.lax.fori_loop(0, iters, body, phi)
+
+
+def reinitialize(
+    phi: MeshField,
+    iters: Optional[int] = None,
+    cfl: float = 0.45,
+    subcell: bool = True,
+    band_width: Optional[float] = None,
+) -> MeshField:
+    """Reinitialize ``phi`` to (approximately) a signed distance function.
+
+    - ``iters``: pseudo-time steps. Default covers ``band_width`` (if given) or the
+      full domain diameter at unit propagation speed.
+    - ``cfl``: pseudo-time step ``dtau = cfl * min(h)``.
+    - ``subcell``: apply the interface-pinning Russo-Smereka fix (recommended; the
+      zero contour stays put to O(h^2)).
+    - ``band_width``: only update nodes with ``|phi| <= band_width`` (narrow-band
+      usage); farther nodes keep their (correctly signed) values.
+
+    Accuracy oracle: the reference's Newton ``reinitialize!``
+    (``test/test-reinitializer.jl``), relaxed to this method's order.
+    """
+    if not phi.has_bcs():
+        from ..core.bc import LinearExtrapolation
+
+        phi = phi.with_bcs(LinearExtrapolation())
+    if iters is None:
+        dx = phi.grid.min_spacing
+        reach = band_width if band_width is not None else max(
+            b - a for a, b in zip(phi.grid.lo, phi.grid.hi)
+        )
+        iters = int(math.ceil(reach / (cfl * dx))) + 5
+    return _reinitialize_impl(phi, iters, cfl, subcell, band_width)

@@ -9,13 +9,17 @@ These env settings must land before the first ``import jax``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env ships JAX_PLATFORMS=axon (TPU tunnel)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The axon (TPU-tunnel) plugin registers itself from sitecustomize and hard-sets
+# jax_platforms to "axon,cpu" — env vars alone cannot force CPU; override the
+# config after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
