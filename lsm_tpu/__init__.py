@@ -22,6 +22,7 @@ from .core.bc import (
     normalize_bcs,
 )
 from .core.field import MeshField, sample
+from .core.narrowband import NarrowBandField
 from .terms.terms import (
     AdvectionTerm,
     NormalMotionTerm,
@@ -62,6 +63,7 @@ __all__ = [
     "Symmetry",
     "normalize_bcs",
     "MeshField",
+    "NarrowBandField",
     "sample",
     "AdvectionTerm",
     "NormalMotionTerm",

@@ -4,3 +4,4 @@ from .bc import (
     Symmetry, normalize_bcs, pad_ghost,
 )
 from .field import MeshField, sample
+from .narrowband import NarrowBandField

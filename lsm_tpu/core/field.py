@@ -73,6 +73,16 @@ class MeshField:
     def has_bcs(self) -> bool:
         return self.bcs is not None
 
+    @property
+    def active_mask(self):
+        """Boolean active-node mask, or None when every node is active (dense)."""
+        return None
+
+    def update_band(self):
+        """Re-tube the narrow band; no-op on a full grid (reference
+        ``update_band!(phi::AbstractMeshField)``)."""
+        return self
+
     def with_bcs(self, bc, *, replace: bool = False) -> "MeshField":
         """Return a copy with boundary conditions attached (reference
         ``_add_boundary_conditions``, ``meshfield.jl:150-153``)."""

@@ -147,6 +147,7 @@ class LevelSetEquation:
             self.state, self.terms = _loop.step(
                 self.integrator, self.terms, self.state, self.t, dt
             )
+            self.state = self.state.update_band()  # no-op on dense fields
             self.t += dt
             nsteps += 1
             if posthook is not None:

@@ -70,6 +70,7 @@ def evolve(
         )
         ok = jnp.logical_and(ok, dt > 0)
         phi_new, terms_new = integrator.advance(terms, phi, t, dt)
+        phi_new = phi_new.update_band()  # no-op on dense fields
         return phi_new, terms_new, t + dt, n + 1, ok
 
     phi, terms, t, n, ok = jax.lax.while_loop(
@@ -100,6 +101,7 @@ def rollout(
     def body(carry, _):
         phi, terms, t = carry
         phi, terms = integrator.advance(terms, phi, t, dt)
+        phi = phi.update_band()  # no-op on dense fields
         return (phi, terms, t + dt), None
 
     (phi, terms, _), _ = jax.lax.scan(

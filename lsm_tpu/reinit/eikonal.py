@@ -34,17 +34,25 @@ __all__ = ["reinitialize", "reinit_rhs"]
 
 
 def _subcell_distance(p0, spacing, g, shape):
-    """Per-node signed distance estimate ``D = phi0 / |grad phi0|`` with a robust
-    gradient magnitude: per dimension the largest of |forward|, |backward| and
-    |centered| difference (Russo-Smereka's denominator, generalized to N-D), so a
-    local extremum across the interface cannot zero the denominator."""
-    grad_sq = 0.0
+    """Per-node signed distance estimate ``D = phi0 / |grad phi0|``.
+
+    The gradient magnitude uses centered differences (O(h^2)-accurate for smooth
+    phi0, which keeps repeated reinitialization nearly idempotent) with a robust
+    fallback — per dimension the largest of |forward|, |backward|, |centered|
+    (Russo-Smereka's denominator, generalized to N-D) — wherever the centered
+    estimate collapses (a local extremum straddling the interface would otherwise
+    zero the denominator)."""
+    cen_sq = 0.0
+    rob_sq = 0.0
     for ax, h in enumerate(spacing):
         fwd = jnp.abs(st.dp(p0, ax, h, g, shape))
         bwd = jnp.abs(st.dm(p0, ax, h, g, shape))
         cen = jnp.abs(st.d0(p0, ax, h, g, shape))
-        grad_sq = grad_sq + jnp.maximum(jnp.maximum(fwd, bwd), cen) ** 2
-    grad = jnp.sqrt(grad_sq)
+        cen_sq = cen_sq + cen * cen
+        rob_sq = rob_sq + jnp.maximum(jnp.maximum(fwd, bwd), cen) ** 2
+    grad_c = jnp.sqrt(cen_sq)
+    grad_r = jnp.sqrt(rob_sq)
+    grad = jnp.where(grad_c > 0.5 * grad_r, grad_c, grad_r)
     phi0 = st.shift(p0, (0,) * len(shape), g, shape)
     eps = jnp.finfo(p0.dtype).eps
     return phi0 / jnp.maximum(grad, eps)

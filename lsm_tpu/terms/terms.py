@@ -75,6 +75,17 @@ def _eval_vector_field(f: Coefficient, phi: MeshField, t) -> Tuple[jnp.ndarray, 
     return tuple(f[d] for d in range(ndim))
 
 
+def _masked_max(x: jnp.ndarray, mask) -> jnp.ndarray:
+    """Max of a nonnegative quantity over the active nodes (all nodes when dense).
+
+    CFL bounds reduce over *active* nodes only (reference ``levelsetterms.jl:31-38``
+    loops ``active_nodeindices``); off-band coefficients may be stale/garbage.
+    """
+    if mask is None:
+        return jnp.max(x)
+    return jnp.max(jnp.where(mask, x, 0.0))
+
+
 def _flatten_coeff(coeff):
     """Split a coefficient into (dynamic children, static aux).
 
@@ -172,7 +183,7 @@ class AdvectionTerm(_Term):
         s = 0.0
         for ax, h in enumerate(phi.spacing):
             s = s + jnp.abs(u[ax]) / h
-        return 1.0 / jnp.max(s)
+        return 1.0 / _masked_max(s, phi.active_mask)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -215,7 +226,7 @@ class NormalMotionTerm(_Term):
     def cfl_dt(self, phi, t):
         v = _eval_scalar_field(self.speed, phi, t)
         inv_h_sum = sum(1.0 / h for h in phi.spacing)
-        return 1.0 / (jnp.max(jnp.abs(v)) * inv_h_sum)
+        return 1.0 / (_masked_max(jnp.abs(v), phi.active_mask) * inv_h_sum)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -252,7 +263,7 @@ class CurvatureTerm(_Term):
     def cfl_dt(self, phi, t):
         b = _eval_scalar_field(self.b, phi, t)
         hmin = phi.grid.min_spacing
-        return hmin * hmin / (2.0 * jnp.max(jnp.abs(b)))
+        return hmin * hmin / (2.0 * _masked_max(jnp.abs(b), phi.active_mask))
 
 
 @jax.tree_util.register_pytree_node_class
