@@ -66,19 +66,22 @@ def main():
     # one fused device call (dispatch ~0.03 ms), while lax.fori_loop bodies are
     # executed op-by-op by the axon runtime (~100x slower measured) — see
     # docs/perf-notes.md. The input buffer is donated so steps update in place.
+    # Velocity is an explicit argument — closed-over arrays would be serialized
+    # into the HLO as constants (GBs at 512^3, breaking remote compile).
     @partial(jax.jit, donate_argnums=(0,))
-    def one_step(phi_values):
+    def one_step(phi_values, vel_values):
         f = phi.with_values(phi_values)
-        return phi_values - dt * term.rhs(f, dtype(0.0))
+        t = lsm.AdvectionTerm(vel.with_values(vel_values))
+        return phi_values - dt * t.rhs(f, dtype(0.0))
 
     # warm-up / compile
-    v = one_step(phi.values)
+    v = one_step(phi.values, vel.values)
     v.block_until_ready()
 
     # timed: `steps` sequential Hamiltonian+update evaluations
     t0 = time.perf_counter()
     for _ in range(steps):
-        v = one_step(v)
+        v = one_step(v, vel.values)
     v.block_until_ready()
     elapsed = time.perf_counter() - t0
 

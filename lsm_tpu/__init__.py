@@ -33,6 +33,8 @@ from .terms.terms import (
 from .integrators.explicit import ForwardEuler, RK2, RK3, TimeIntegrator
 from .integrators.loop import evolve, rollout, step
 from .equation import LevelSetEquation
+from .interp.interpolation import InterpolatedField
+from .interp.sdf import NewtonSDF, reinitialize_newton, hausdorff_distance
 from .reinit.eikonal import reinitialize
 from .reinit.velocity_extension import extend_along_normals
 from .geometry.queries import (
@@ -78,6 +80,10 @@ __all__ = [
     "rollout",
     "step",
     "LevelSetEquation",
+    "InterpolatedField",
+    "NewtonSDF",
+    "reinitialize_newton",
+    "hausdorff_distance",
     "reinitialize",
     "extend_along_normals",
     "volume",
