@@ -31,6 +31,7 @@ from .terms.terms import (
     compute_cfl,
 )
 from .integrators.explicit import ForwardEuler, RK2, RK3, TimeIntegrator
+from .integrators.semi_implicit import SemiImplicitI2OE
 from .integrators.loop import evolve, rollout, step
 from .equation import LevelSetEquation
 from .interp.interpolation import InterpolatedField
@@ -75,6 +76,7 @@ __all__ = [
     "ForwardEuler",
     "RK2",
     "RK3",
+    "SemiImplicitI2OE",
     "TimeIntegrator",
     "evolve",
     "rollout",

@@ -1,0 +1,136 @@
+"""Semi-implicit I2OE advection integrator (Mikula et al.), matrix-free.
+
+TPU-native analogue of the reference's ``SemiImplicitI2OE``
+(``/root/reference/src/timestepping.jl:204-427``): the inflow part of each face
+flux is implicit, the outflow part explicit, which keeps the scheme stable at
+CFL >> 1 (default safety factor 2.0 vs 0.5 explicit).
+
+The reference assembles one global sparse matrix per step and direct-solves it.
+A sparse triplet assembly + LU is hostile to TPU; here the same linear system is
+applied **matrix-free** as a stencil operator
+
+    A(u) = u + fac * sum_faces a_in * (u - u_nb(u))
+
+where ``u_nb`` is the ghost-linear neighbor map (one-layer BC pad — all supported
+BCs are linear with zero offset, exactly the affine relations of
+``_i2oe_relation``) and solved with BiCGStab (nonsymmetric Krylov), entirely
+on-device and differentiable. Face velocities average the two adjacent nodes
+(``_i2oe_face_velocity``), degrading to the cell value at extrapolation
+boundaries via a clamp pad, as in the reference.
+
+Supported BCs: Periodic, Neumann, LinearExtrapolation (reference parity:
+``_i2oe_relation`` methods; others raise).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bc import Extrapolation, Periodic, pad_ghost
+from ..core.field import MeshField
+from ..ops import stencils as st
+from ..terms.terms import AdvectionTerm, _eval_vector_field, update_terms
+from .explicit import TimeIntegrator
+
+__all__ = ["SemiImplicitI2OE"]
+
+
+def _check_setup(terms, phi):
+    if len(terms) != 1 or not isinstance(terms[0], AdvectionTerm):
+        raise ValueError("SemiImplicitI2OE requires exactly one AdvectionTerm")
+    if phi.active_mask is not None:
+        raise ValueError("SemiImplicitI2OE requires a full-grid MeshField, not a narrow band")
+    if any(n < 3 for n in phi.shape):
+        raise ValueError(
+            "SemiImplicitI2OE requires at least 3 grid nodes along each dimension"
+        )
+    for pair in phi.bcs:
+        for b in pair:
+            ok = isinstance(b, Periodic) or (
+                isinstance(b, Extrapolation) and b.degree in (0, 1)
+            )
+            if not ok:
+                raise ValueError(
+                    f"boundary condition {b} is not supported by SemiImplicitI2OE"
+                )
+
+
+def _clamp_pad(v: jnp.ndarray, bcs, width: int = 1) -> jnp.ndarray:
+    """Pad with Periodic kept, but Extrapolation degraded to clamp (Neumann) —
+    the face-velocity rule at extrapolation boundaries (``timestepping.jl:414-420``)."""
+    clamped = tuple(
+        tuple(b if isinstance(b, Periodic) else Extrapolation(0) for b in pair)
+        for pair in bcs
+    )
+    return pad_ghost(v, clamped, width)
+
+
+def _neighbor(padded: jnp.ndarray, axis: int, side: int, shape) -> jnp.ndarray:
+    off = tuple(side if d == axis else 0 for d in range(len(shape)))
+    return st.shift(padded, off, 1, shape)
+
+
+@dataclasses.dataclass(frozen=True, repr=False)
+class SemiImplicitI2OE(TimeIntegrator):
+    """Semi-implicit advection (stable at CFL >> 1). ``tol``/``maxiter`` control
+    the BiCGStab solve of the per-step linear system."""
+
+    cfl: float = 2.0
+    tol: float = 1e-10
+    maxiter: int = 500
+
+    def advance(self, terms, phi: MeshField, t, dt):
+        _check_setup(terms, phi)
+        terms = update_terms(terms, phi, t)
+        term = terms[0]
+        shape = phi.shape
+        ndim = phi.ndim
+        spacing = phi.spacing
+        cell_vol = phi.grid.cell_volume
+        fac = dt / (2.0 * cell_vol)
+
+        u_old = phi.values
+        vel = _eval_vector_field(term.velocity, phi, t)
+
+        # inflow/outflow face coefficients per dim and side
+        ain = []
+        aout_flux = 0.0
+        u_old_pad = phi.pad(1)
+        for d in range(ndim):
+            area = cell_vol / spacing[d]
+            v_pad = _clamp_pad(vel[d], phi.bcs)
+            for side, sign in ((-1, 1.0), (1, -1.0)):
+                vface = 0.5 * (vel[d] + _neighbor(v_pad, d, side, shape))
+                a = sign * area * vface
+                ain.append(jnp.maximum(a, 0.0))
+                a_out = jnp.minimum(a, 0.0)
+                u_nb_old = _neighbor(u_old_pad, d, side, shape)
+                # explicit outflow: rhs -= fac * aout * (u_old - u_nb_old)
+                aout_flux = aout_flux - a_out * (u_old - u_nb_old)
+
+        rhs = u_old + fac * aout_flux
+
+        def A(u):
+            u = u.reshape(shape)
+            u_pad = pad_ghost(u, phi.bcs, 1)
+            acc = u
+            k = 0
+            for d in range(ndim):
+                for side in (-1, 1):
+                    acc = acc + fac * ain[k] * (u - _neighbor(u_pad, d, side, shape))
+                    k += 1
+            return acc.reshape(-1)
+
+        x0 = u_old.reshape(-1)
+        sol, _ = jax.scipy.sparse.linalg.bicgstab(
+            A, rhs.reshape(-1), x0=x0, tol=self.tol, maxiter=self.maxiter
+        )
+        return phi.with_values(sol.reshape(shape)), terms
+
+    def describe(self):
+        return "SemiImplicitI2OE (semi-implicit advection, Mikula et al.)"

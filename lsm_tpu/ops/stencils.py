@@ -139,7 +139,14 @@ def _weno_core(v1, v2, v3, v4, v5):
     vmax = jnp.maximum(
         jnp.maximum(jnp.maximum(v1 * v1, v2 * v2), jnp.maximum(v3 * v3, v4 * v4)), v5 * v5
     )
-    eps = 1.0e-6 * vmax + 1.0e-99
+    # absolute floor. The reference's 1e-99 flushes to zero below float64, and a
+    # uniform stencil (all v_i = 0) then yields inf * 0 = NaN; worse, the
+    # *gradient* of the weights contains (s + eps)^-3 terms, so the floor must
+    # keep eps^-3 finite in the working dtype (differentiability through flat
+    # regions). Any |v| above ~1e3*sqrt(floor) keeps the adaptive 1e-6*vmax term
+    # dominant, so the WENO weights are unchanged where the field varies.
+    floor = 1.0e-36 if jnp.result_type(v1) == jnp.float64 else 1.0e-12
+    eps = 1.0e-6 * vmax + floor
     a1 = 0.1 / (s1 + eps) ** 2
     a2 = 0.6 / (s2 + eps) ** 2
     a3 = 0.3 / (s3 + eps) ** 2

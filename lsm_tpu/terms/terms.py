@@ -166,14 +166,15 @@ class AdvectionTerm(_Term):
         p = phi.pad(g)
         u = _eval_vector_field(self.velocity, phi, t)
         spacing = phi.spacing
+        if self.scheme == "weno5":
+            # fused Pallas kernel on TPU (custom-VJP wrapped), jnp fallback
+            from ..ops.weno_pallas import weno_advection_rhs
+
+            return weno_advection_rhs(p, u, tuple(spacing), tuple(phi.shape))
         out = 0.0
         for ax, h in enumerate(spacing):
-            if self.scheme == "weno5":
-                dminus = st.weno5m(p, ax, h, g, phi.shape)
-                dplus = st.weno5p(p, ax, h, g, phi.shape)
-            else:
-                dminus = st.dm(p, ax, h, g, phi.shape)
-                dplus = st.dp(p, ax, h, g, phi.shape)
+            dminus = st.dm(p, ax, h, g, phi.shape)
+            dplus = st.dp(p, ax, h, g, phi.shape)
             out = out + u[ax] * jnp.where(u[ax] > 0, dminus, dplus)
         return out
 

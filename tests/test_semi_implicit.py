@@ -1,0 +1,158 @@
+"""Semi-implicit I2OE oracles (mirrors reference test/test-semi-implicit.jl)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lsm_tpu import (
+    AdvectionTerm,
+    CurvatureTerm,
+    ForwardEuler,
+    Grid,
+    LevelSetEquation,
+    LinearExtrapolation,
+    Neumann,
+    Periodic,
+    SemiImplicitI2OE,
+    sample,
+)
+
+
+def test_periodic_transport_1d():
+    grid = Grid((0.0,), (1.0,), (201,))
+    phi0 = sample(lambda X: jnp.sin(2 * jnp.pi * X) + 0.15 * jnp.cos(6 * jnp.pi * X), grid)
+    vel = sample(lambda X: (jnp.ones_like(X),), grid, vector=True)
+    eq = LevelSetEquation(
+        terms=(AdvectionTerm(vel, scheme="upwind"),),
+        integrator=SemiImplicitI2OE(cfl=3.0),
+        ic=phi0,
+        bc=Periodic(),
+    )
+    tf = 0.35
+    eq.integrate(tf, prehook=lambda e: None)  # host loop (step-per-dispatch)
+    x = np.asarray(grid.axis_coords(0))
+    xs = np.mod(x - tf, 1.0)
+    ref = np.sin(2 * np.pi * xs) + 0.15 * np.cos(6 * np.pi * xs)
+    err = np.abs(np.asarray(eq.current_state.values) - ref).max()
+    assert err < 0.12, err
+
+
+def test_periodic_transport_2d():
+    grid = Grid((0.0, 0.0), (1.0, 1.0), (121, 111))
+    phi0 = sample(lambda X, Y: jnp.sin(2 * jnp.pi * X) + 0.4 * jnp.cos(2 * jnp.pi * Y), grid)
+    vel = sample(lambda X, Y: (0.75 + 0 * X + 0 * Y, -0.35 + 0 * X + 0 * Y), grid, vector=True)
+    eq = LevelSetEquation(
+        terms=(AdvectionTerm(vel, scheme="upwind"),),
+        integrator=SemiImplicitI2OE(cfl=2.5),
+        ic=phi0,
+        bc=Periodic(),
+    )
+    tf = 0.2
+    eq.integrate(tf, prehook=lambda e: None)
+    X, Y = [np.asarray(c) for c in grid.dense_coords()]
+    xs = np.mod(X - 0.75 * tf, 1.0)
+    ys = np.mod(Y + 0.35 * tf, 1.0)
+    ref = np.sin(2 * np.pi * xs) + 0.4 * np.cos(2 * np.pi * ys)
+    err = np.abs(np.asarray(eq.current_state.values) - ref).max()
+    assert err < 0.2, err
+
+
+def test_constant_field_nonperiodic():
+    # constant field stays exactly constant under any velocity with extrapolation BCs
+    grid = Grid((0.0,), (1.0,), (121,))
+    phi0 = sample(lambda X: 0.7 + 0 * X, grid)
+    eq = LevelSetEquation(
+        terms=(AdvectionTerm(lambda xs, t: (jnp.sin(2 * jnp.pi * xs[0]),), scheme="upwind"),),
+        integrator=SemiImplicitI2OE(cfl=4.0),
+        ic=phi0,
+        bc=LinearExtrapolation(),
+    )
+    eq.integrate(0.6, prehook=lambda e: None)
+    assert np.abs(np.asarray(eq.current_state.values) - 0.7).max() < 1e-9
+
+
+def test_invalid_setup():
+    grid = Grid((0.0,), (1.0,), (41,))
+    phi = sample(lambda X: X, grid)
+    eq = LevelSetEquation(
+        terms=(AdvectionTerm(lambda xs, t: (jnp.ones_like(xs[0]),), scheme="upwind"),
+               CurvatureTerm(-0.1)),
+        integrator=SemiImplicitI2OE(),
+        ic=phi,
+        bc=Periodic(),
+    )
+    with pytest.raises(ValueError):
+        eq.integrate(0.1, prehook=lambda e: None)
+
+    grid_small = Grid((0.0,), (1.0,), (2,))
+    phi_small = sample(lambda X: X, grid_small)
+    eq2 = LevelSetEquation(
+        terms=(AdvectionTerm(lambda xs, t: (jnp.ones_like(xs[0]),), scheme="upwind"),),
+        integrator=SemiImplicitI2OE(),
+        ic=phi_small,
+        bc=Neumann(),
+    )
+    with pytest.raises(ValueError):
+        eq2.integrate(0.1, prehook=lambda e: None)
+
+
+def test_stable_at_high_cfl_where_explicit_blows_up():
+    grid = Grid((0.0,), (1.0,), (401,))
+    f0 = lambda X: jnp.sin(2 * jnp.pi * X) + 0.2 * jnp.cos(4 * jnp.pi * X)
+    vel = sample(lambda X: (jnp.ones_like(X),), grid, vector=True)
+    tf = 0.5
+
+    def make(integrator):
+        return LevelSetEquation(
+            terms=(AdvectionTerm(vel, scheme="upwind"),),
+            integrator=integrator,
+            ic=sample(f0, grid),
+            bc=Periodic(),
+        )
+
+    eq_semi = make(SemiImplicitI2OE(cfl=2.0))
+    eq_semi.integrate(tf, prehook=lambda e: None)
+    x = np.asarray(grid.axis_coords(0))
+    xs = np.mod(x - tf, 1.0)
+    ref = np.sin(2 * np.pi * xs) + 0.2 * np.cos(4 * np.pi * xs)
+    err_semi = np.abs(np.asarray(eq_semi.current_state.values) - ref).max()
+    assert err_semi < 0.2, err_semi
+
+    eq_exp = make(ForwardEuler(cfl=2.0))
+    try:
+        eq_exp.integrate(tf, prehook=lambda e: None)
+        vals = np.asarray(eq_exp.current_state.values)
+        err_exp = np.abs(vals - ref).max()
+        assert (not np.isfinite(vals).all()) or err_exp > 0.5
+    except (ValueError, ArithmeticError):
+        pass  # NaN blow-up detected by the driver is also an acceptable outcome
+
+
+def test_beats_explicit_at_high_cfl_2d():
+    grid = Grid((0.0, 0.0), (1.0, 1.0), (121, 121))
+    f0 = lambda X, Y: jnp.sin(2 * jnp.pi * X) + 0.25 * jnp.cos(4 * jnp.pi * Y)
+    vel = sample(lambda X, Y: (0.9 + 0 * (X + Y), -0.55 + 0 * (X + Y)), grid, vector=True)
+    tf, cfl = 0.25, 4.0
+
+    eq_semi = LevelSetEquation(
+        terms=(AdvectionTerm(vel, scheme="upwind"),),
+        integrator=SemiImplicitI2OE(cfl=cfl), ic=sample(f0, grid), bc=Periodic(),
+    )
+    eq_semi.integrate(tf, prehook=lambda e: None)
+    X, Y = [np.asarray(c) for c in grid.dense_coords()]
+    xs = np.mod(X - 0.9 * tf, 1.0)
+    ys = np.mod(Y + 0.55 * tf, 1.0)
+    ref = np.sin(2 * np.pi * xs) + 0.25 * np.cos(4 * np.pi * ys)
+    err_semi = np.abs(np.asarray(eq_semi.current_state.values) - ref).max()
+    assert err_semi < 0.05, err_semi
+
+    eq_exp = LevelSetEquation(
+        terms=(AdvectionTerm(vel, scheme="upwind"),),
+        integrator=ForwardEuler(cfl=cfl), ic=sample(f0, grid), bc=Periodic(),
+    )
+    try:
+        eq_exp.integrate(tf, prehook=lambda e: None)
+        err_exp = np.abs(np.asarray(eq_exp.current_state.values) - ref).max()
+        assert err_exp > 3 * err_semi or not np.isfinite(err_exp)
+    except (ValueError, ArithmeticError):
+        pass
