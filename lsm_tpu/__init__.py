@@ -38,6 +38,7 @@ from .interp.interpolation import InterpolatedField
 from .interp.sdf import NewtonSDF, reinitialize_newton, hausdorff_distance
 from .reinit.eikonal import reinitialize
 from .reinit.velocity_extension import extend_along_normals
+from .geometry.quadrature import quadrature, integrate
 from .geometry.queries import (
     volume,
     perimeter,
@@ -88,6 +89,8 @@ __all__ = [
     "hausdorff_distance",
     "reinitialize",
     "extend_along_normals",
+    "quadrature",
+    "integrate",
     "volume",
     "perimeter",
     "curvature",
