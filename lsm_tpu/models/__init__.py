@@ -1,0 +1,2 @@
+from . import shapes
+from . import benchmarks

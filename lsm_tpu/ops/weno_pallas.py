@@ -241,13 +241,18 @@ def _weno_hamiltonian_jnp(padded, u, spacing, shape):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def weno_advection_rhs(padded, u, spacing, shape, use_pallas=True):
+def weno_advection_rhs(padded, u, spacing, shape, use_pallas=False):
     """WENO5 advection Hamiltonian on a ghost-padded field; differentiable.
 
-    Forward runs the fused Pallas kernel when available (TPU, supported shape),
-    falling back to the whole-array jnp path; backward is the VJP of the jnp
-    path, recomputed from the saved primals (the standard recompute-in-backward
-    trade for stencils — residuals would cost more HBM than the recompute).
+    Forward runs the fused Pallas kernel when ``use_pallas`` and available
+    (TPU, supported shape), else the whole-array jnp path; backward is the VJP
+    of the jnp path, recomputed from the saved primals (the standard
+    recompute-in-backward trade for stencils — residuals would cost more HBM
+    than the recompute).
+
+    ``use_pallas`` currently defaults to False: on the measured chip XLA's own
+    stencil fusion beats the first-cut kernel (1.84 vs 3.01 ms at 128^3, see
+    docs/perf-notes.md); the kernel stays available and tested for tuning.
     """
     if use_pallas and pallas_available() and len(shape) in (2, 3):
         try:

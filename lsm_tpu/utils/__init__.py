@@ -1,0 +1,2 @@
+from .checkpoint import save_checkpoint, load_checkpoint
+from .profiling import StepMonitor, trace, timed
