@@ -154,6 +154,118 @@ def _weno_core(v1, v2, v3, v4, v5):
     return (a1 * d1 + a2 * d2 + a3 * d3) * inv
 
 
+def _weno_eps(vmax, dtype):
+    # absolute floor: see the note in _weno_core.
+    floor = 1.0e-36 if dtype == jnp.float64 else 1.0e-12
+    return 1.0e-6 * vmax + floor
+
+
+def _weno_combine(s1, s2, s3, eps, d1, d2, d3):
+    """Weighted combination with ONE division (plus one shared reciprocal).
+
+    Classic form needs four divisions (three ``a_i = g_i/(s_i+eps)^2`` plus the
+    normalization). Rewrite with ``b_i = (s_i+eps)/eps >= 1``:
+    ``a_i \\propto g_i * (b_j b_k)^2`` (j,k the other two), so the weights
+    ``a_i / sum(a)`` are unchanged (the common ``prod(b)^2 / eps^4`` cancels).
+    The ``1/eps`` normalization keeps every intermediate in fp32 range:
+    ``1 <= b_i <= ~26/1e-6`` so ``(b_j b_k)^2 <= ~5e29 < fp32 max``, and a flat
+    stencil gives ``b_i = 1`` -> exact 0.1/0.6/0.3 weights (never 0/0).
+    """
+    r = 1.0 / eps
+    b1 = s1 * r + 1.0
+    b2 = s2 * r + 1.0
+    b3 = s3 * r + 1.0
+    q1 = 0.1 * (b2 * b3) ** 2
+    q2 = 0.6 * (b1 * b3) ** 2
+    q3 = 0.3 * (b1 * b2) ** 2
+    return (q1 * d1 + q2 * d2 + q3 * d3) / (q1 + q2 + q3)
+
+
+def weno5_pair(dm):
+    """Fused (weno5-, weno5+) from the six shared backward differences ``dm[k]``,
+    ``k = -2..3`` relative to node ``I`` (i.e. ``dm[j] = D- at I + j - 2``).
+
+    Shares the difference table between the left- and right-biased
+    reconstructions: ``e[k]`` (first differences of ``dm``) and ``c[k]`` (second
+    differences) appear in the Jiang-Shu indicators of BOTH biases, saving ~35%
+    of the arithmetic vs. two independent ``_weno_core`` calls; combined with the
+    one-division weight form this is the arithmetic layout the fused Pallas
+    kernel uses. Identical in exact arithmetic to
+    ``(_weno_core(dm[0..4]), _weno_core(dm[5],dm[4],dm[3],dm[2],dm[1]))``.
+    """
+    dtype = jnp.result_type(dm[0])
+    c13 = 13.0 / 12.0
+    e = [dm[k + 1] - dm[k] for k in range(5)]
+    c = [e[k + 1] - e[k] for k in range(4)]
+    c_sq = [ck * ck for ck in c]
+    # minus-biased (stencil dm[0..4])
+    s1m = c13 * c_sq[0] + 0.25 * (c[0] + 2.0 * e[1]) ** 2
+    s2m = c13 * c_sq[1] + 0.25 * (e[1] + e[2]) ** 2
+    s3m = c13 * c_sq[2] + 0.25 * (c[2] - 2.0 * e[2]) ** 2
+    # plus-biased (stencil dm[5..1], i.e. the reflection)
+    s1p = c13 * c_sq[3] + 0.25 * (c[3] - 2.0 * e[3]) ** 2
+    s2p = c13 * c_sq[2] + 0.25 * (e[2] + e[3]) ** 2
+    s3p = c13 * c_sq[1] + 0.25 * (c[1] + 2.0 * e[2]) ** 2
+    sq = [v * v for v in dm]
+    mid = jnp.maximum(
+        jnp.maximum(sq[1], sq[2]), jnp.maximum(sq[3], sq[4])
+    )  # shared dm[1..4]
+    eps_m = _weno_eps(jnp.maximum(mid, sq[0]), dtype)
+    eps_p = _weno_eps(jnp.maximum(mid, sq[5]), dtype)
+    d1m = (1.0 / 3.0) * dm[0] - (7.0 / 6.0) * dm[1] + (11.0 / 6.0) * dm[2]
+    d2m = -(1.0 / 6.0) * dm[1] + (5.0 / 6.0) * dm[2] + (1.0 / 3.0) * dm[3]
+    d3m = (1.0 / 3.0) * dm[2] + (5.0 / 6.0) * dm[3] - (1.0 / 6.0) * dm[4]
+    d1p = (1.0 / 3.0) * dm[5] - (7.0 / 6.0) * dm[4] + (11.0 / 6.0) * dm[3]
+    d2p = -(1.0 / 6.0) * dm[4] + (5.0 / 6.0) * dm[3] + (1.0 / 3.0) * dm[2]
+    d3p = (1.0 / 3.0) * dm[3] + (5.0 / 6.0) * dm[2] - (1.0 / 6.0) * dm[1]
+    minus = _weno_combine(s1m, s2m, s3m, eps_m, d1m, d2m, d3m)
+    plus = _weno_combine(s1p, s2p, s3p, eps_p, d1p, d2p, d3p)
+    return minus, plus
+
+
+def weno5_upwind(dm, u):
+    """Upwinded WENO5 advection contribution ``u * (u>0 ? weno5- : weno5+)``
+    along one axis, from the six shared backward differences ``dm`` (see
+    :func:`weno5_pair_diffs`) and that axis's velocity component ``u``.
+
+    Instead of evaluating BOTH biased reconstructions and selecting the output
+    (``u * where(u>0, weno5m, weno5p)``), select the five stencil *inputs* by
+    the sign of ``u`` and run ONE core — the plus-biased core is the minus core
+    on the reflected stencil ``(dm5,dm4,dm3,dm2,dm1)``, so five ``where``s
+    replace an entire second set of smoothness indicators, weights, and
+    candidates (~2x less VPU arithmetic; WENO5 on TPU is compute-bound).
+    Identical result: at ``u == 0`` both forms pick the plus branch and
+    multiply by zero.
+    """
+    cond = u > 0
+    v1 = jnp.where(cond, dm[0], dm[5])
+    v2 = jnp.where(cond, dm[1], dm[4])
+    v3 = jnp.where(cond, dm[2], dm[3])
+    v4 = jnp.where(cond, dm[3], dm[2])
+    v5 = jnp.where(cond, dm[4], dm[1])
+    d1 = (1.0 / 3.0) * v1 - (7.0 / 6.0) * v2 + (11.0 / 6.0) * v3
+    d2 = -(1.0 / 6.0) * v2 + (5.0 / 6.0) * v3 + (1.0 / 3.0) * v4
+    d3 = (1.0 / 3.0) * v3 + (5.0 / 6.0) * v4 - (1.0 / 6.0) * v5
+    c13 = 13.0 / 12.0
+    s1 = c13 * (v1 - 2.0 * v2 + v3) ** 2 + 0.25 * (v1 - 4.0 * v2 + 3.0 * v3) ** 2
+    s2 = c13 * (v2 - 2.0 * v3 + v4) ** 2 + 0.25 * (v2 - v4) ** 2
+    s3 = c13 * (v3 - 2.0 * v4 + v5) ** 2 + 0.25 * (3.0 * v3 - 4.0 * v4 + v5) ** 2
+    vmax = jnp.maximum(
+        jnp.maximum(jnp.maximum(v1 * v1, v2 * v2), jnp.maximum(v3 * v3, v4 * v4)),
+        v5 * v5,
+    )
+    eps = _weno_eps(vmax, jnp.result_type(v1))
+    return u * _weno_combine(s1, s2, s3, eps, d1, d2, d3)
+
+
+def weno5_pair_diffs(p, axis, h, g, shape):
+    """The six backward differences ``D- at I-2 .. I+3`` along ``axis`` feeding
+    :func:`weno5_pair` (shared between both biases: ``D+ at I+m == D- at I+m+1``)."""
+    s = [_s(p, axis, k, g, shape) for k in range(-3, 4)]  # offsets -3..3
+    inv_h = 1.0 / h
+    return [(s[k + 1] - s[k]) * inv_h for k in range(6)]
+
+
 def weno5m(p, axis, h, g, shape):
     """Left-biased fifth-order WENO derivative along ``axis`` (``weno5-``).
 

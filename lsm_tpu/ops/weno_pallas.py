@@ -1,26 +1,32 @@
-"""Fused Pallas TPU kernel for the WENO5 advection Hamiltonian.
+"""Fused Pallas TPU kernels for the WENO5 advection Hamiltonian.
 
 The hot loop of the whole engine (SURVEY.md section 3.2): per cell,
 ``sum_d u_d * (u_d > 0 ? weno5-(phi) : weno5+(phi))``. The pure-XLA path
-materializes tens of shifted HBM-sized temporaries; this kernel computes the
+materializes tens of shifted HBM-sized temporaries; these kernels compute the
 entire Hamiltonian out of one VMEM-resident slab per tile:
 
 - the BC-padded ``phi`` stays in HBM (``memory_space=ANY``); each program DMAs
-  its *overlapping* ``(B0+6, B1+6, n2+6)`` halo slab into VMEM scratch (overlap
-  cannot be expressed with BlockSpecs, which partition),
-- velocity components and the output stream through regular double-buffered
-  ``BlockSpec`` pipelines,
-- all 36 one-sided differences, Jiang-Shu smoothness indicators and weights are
-  register/VMEM-resident (VPU), so HBM traffic per cell-update drops to
-  ~(redundant) phi reads + u + out.
+  its *overlapping* halo slab into VMEM scratch (overlap cannot be expressed
+  with BlockSpecs, which partition), double-buffered ACROSS grid programs so
+  the DMA overlaps the previous tile's VPU work,
+- velocity components (and the optional axpy operand) stream through regular
+  double-buffered ``BlockSpec`` pipelines,
+- all one-sided differences, Jiang-Shu smoothness indicators and weights are
+  VMEM-resident (VPU),
+- the time-integrator axpy is fused into the same kernel
+  (``out = alpha*aux + beta*center - gamma*H``), so a forward-Euler step or an
+  RK stage makes ONE pass over HBM instead of Hamiltonian-then-update.
 
-The six backward differences per axis are shared between the left- and
-right-biased reconstructions (``D+ at I+m == D- at I+m+1``), saving ~40% of the
-difference arithmetic vs. the naive form.
+Arithmetic layout (:func:`lsm_tpu.ops.stencils.weno5_upwind`): WENO5 on TPU is
+VPU-compute-bound, not HBM-bound, so the kernel selects the five stencil
+*inputs* by upwind direction and runs a single reconstruction core per axis
+(half the arithmetic of evaluating both biases), with one-division nonlinear
+weights.
 
-``weno_advection_rhs`` is the public entry: custom-VJP wrapped (backward pass =
-VJP of the reference jnp implementation, recomputed from the saved primals) so
-the kernel is differentiable inside ``rollout``.
+``weno_advection_rhs`` / ``weno_advection_stage`` are the public entries:
+custom-VJP wrapped (backward pass = VJP of the reference jnp implementation,
+recomputed from the saved primals) so the kernels are differentiable inside
+``rollout``.
 """
 
 from __future__ import annotations
@@ -42,9 +48,18 @@ try:  # Pallas is TPU/Mosaic-only; import lazily so CPU-only installs work
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-__all__ = ["weno_advection_rhs", "pallas_available", "weno_hamiltonian_pallas"]
+__all__ = [
+    "weno_advection_rhs",
+    "weno_advection_stage",
+    "pallas_available",
+    "weno_hamiltonian_pallas",
+    "weno_stage_pallas",
+]
 
 _G = st.PAD_WENO5  # 3
+_LANE = 128
+_SUBLANE = 8
+_VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB VMEM; leave headroom
 
 
 def pallas_available() -> bool:
@@ -56,81 +71,109 @@ def pallas_available() -> bool:
         return False
 
 
-def _pick_tile(n: int, targets=(16, 8)) -> Optional[int]:
+def _pick_tile(n: int, targets) -> Optional[int]:
     for t in targets:
         if n % t == 0:
             return t
     return None
 
 
-def _weno_pair_from_dm(dm):
-    """(weno5-, weno5+) from the six shared backward differences ``dm[k]``,
-    ``k = -2..3`` (offset index ``k+2``)."""
-    minus = st._weno_core(dm[0], dm[1], dm[2], dm[3], dm[4])
-    plus = st._weno_core(dm[5], dm[4], dm[3], dm[2], dm[1])
-    return minus, plus
-
-
-def _make_kernel_3d(B0: int, B1: int, shape, spacing):
-    n0, n1, n2 = shape
+def _make_kernel_3d(B0: int, B1: int, B2: int, spacing, grid_dims, with_aux: bool):
     h = spacing
-    # Mosaic constraint: DMA slice shapes must be tiling-aligned — a multiple
-    # of 8 in the sublane (second-to-last) dim and of 128 in the lane (last)
-    # dim. The slab therefore over-fetches B1+8 sublane rows and the whole
-    # 128-rounded lane extent; the padded input carries matching junk tails.
-    # Offsets i*B0 / j*B1 are 8-aligned since B is a multiple of 8.
-    S1 = B1 + 2 * _G + 2
-    S2 = -(-(n2 + 2 * _G) // 128) * 128
+    G0, G1, G2 = grid_dims
+    total = G0 * G1 * G2
 
-    def kernel(p_hbm, u0_ref, u1_ref, u2_ref, out_ref, slab, sem):
+    def kernel(coef_ref, p_hbm, u0_ref, u1_ref, u2_ref, *rest):
+        if with_aux:
+            aux_ref, out_ref, slab, sem = rest
+        else:
+            out_ref, slab, sem = rest
+            aux_ref = None
         i = pl.program_id(0)
         j = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            p_hbm.at[pl.ds(i * B0, B0 + 2 * _G), pl.ds(j * B1, S1), :],
-            slab,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        k = pl.program_id(2)
+        pid = (i * G1 + j) * G2 + k
+
+        # Aligned over-fetch: dim0 is unconstrained (fetch exactly B0+6 from
+        # offset i*B0 — the padded array's left ghost makes that the halo
+        # start); dim1 offset j*B1 is sublane-aligned (B1 % 8 == 0), size
+        # rounded to B1+8; dim2 offset k*B2 is lane-aligned (B2 % 128 == 0),
+        # size rounded to B2+128. The padded input carries matching junk tails.
+        def dma(slot, i2, j2, k2):
+            return pltpu.make_async_copy(
+                p_hbm.at[
+                    pl.ds(i2 * B0, B0 + 2 * _G),
+                    pl.ds(j2 * B1, B1 + 2 * _G + 2),
+                    pl.ds(k2 * B2, B2 + _LANE),
+                ],
+                slab.at[slot],
+                sem.at[slot],
+            )
+
+        # Double-buffered halo slabs pipelined ACROSS grid steps: each program
+        # prefetches its successor's slab, so the (latency-bound) halo DMA
+        # overlaps this program's VPU work. Requires "arbitrary" grid
+        # semantics (cross-iteration scratch dependency).
+        one = jnp.asarray(1, pid.dtype)
+        slot = jax.lax.rem(pid, jnp.asarray(2, pid.dtype))
+        nxt = pid + one
+        k2 = jax.lax.rem(nxt, jnp.asarray(G2, pid.dtype))
+        j2 = jax.lax.rem(nxt // jnp.asarray(G2, pid.dtype), jnp.asarray(G1, pid.dtype))
+        i2 = nxt // jnp.asarray(G1 * G2, pid.dtype)
+
+        @pl.when(pid == 0)
+        def _():
+            dma(0, i, j, k).start()
+
+        @pl.when(nxt < total)
+        def _():
+            dma(1 - slot, i2, j2, k2).start()
+
+        dma(slot, i, j, k).wait()
 
         def view(o0, o1, o2):
             return slab[
+                slot,
                 _G + o0 : _G + o0 + B0,
                 _G + o1 : _G + o1 + B1,
-                _G + o2 : _G + o2 + n2,
+                _G + o2 : _G + o2 + B2,
             ]
 
         def axis_dm(axis):
             dm = []
-            for k in range(-2, 4):  # D- at I+k needs phi[I+k] - phi[I+k-1]
-                off_hi = [0, 0, 0]
-                off_lo = [0, 0, 0]
-                off_hi[axis] = k
-                off_lo[axis] = k - 1
-                dm.append((view(*off_hi) - view(*off_lo)) * (1.0 / h[axis]))
-            return dm
+            for m in range(-3, 4):  # nodes I-3..I+3 -> D- at I-2..I+3
+                off = [0, 0, 0]
+                off[axis] = m
+                dm.append(view(*off))
+            return [(dm[m + 1] - dm[m]) * (1.0 / h[axis]) for m in range(6)]
 
-        out = jnp.zeros((B0, B1, n2), dtype=out_ref.dtype)
+        ham = jnp.zeros((B0, B1, B2), dtype=out_ref.dtype)
         for axis, u_ref in ((0, u0_ref), (1, u1_ref), (2, u2_ref)):
-            minus, plus = _weno_pair_from_dm(axis_dm(axis))
-            u = u_ref[:]
-            out = out + u * jnp.where(u > 0, minus, plus)
+            ham = ham + st.weno5_upwind(axis_dm(axis), u_ref[:])
+        beta = coef_ref[1]
+        gamma = coef_ref[2]
+        out = beta * view(0, 0, 0) - gamma * ham
+        if with_aux:
+            out = coef_ref[0] * aux_ref[:] + out
         out_ref[:] = out
 
     return kernel
 
 
-def _make_kernel_2d(B0: int, shape, spacing):
+def _make_kernel_2d(B0: int, shape, spacing, with_aux: bool):
     n0, n1 = shape
     h = spacing
-    S0 = B0 + 2 * _G + 2  # sublane-aligned over-fetch (see 3D kernel)
-    S1_l = -(-(n1 + 2 * _G) // 128) * 128  # lane-aligned extent
+    S0 = B0 + 2 * _G + 2  # sublane-aligned over-fetch
+    S1_l = -(-(n1 + 2 * _G) // _LANE) * _LANE  # lane-aligned extent (whole rows)
 
-    def kernel(p_hbm, u0_ref, u1_ref, out_ref, slab, sem):
+    def kernel(coef_ref, p_hbm, u0_ref, u1_ref, *rest):
+        if with_aux:
+            aux_ref, out_ref, slab, sem = rest
+        else:
+            out_ref, slab, sem = rest
+            aux_ref = None
         i = pl.program_id(0)
-        dma = pltpu.make_async_copy(
-            p_hbm.at[pl.ds(i * B0, S0), :], slab, sem
-        )
+        dma = pltpu.make_async_copy(p_hbm.at[pl.ds(i * B0, S0), :], slab, sem)
         dma.start()
         dma.wait()
 
@@ -139,109 +182,155 @@ def _make_kernel_2d(B0: int, shape, spacing):
 
         def axis_dm(axis):
             dm = []
-            for k in range(-2, 4):
-                off_hi = [0, 0]
-                off_lo = [0, 0]
-                off_hi[axis] = k
-                off_lo[axis] = k - 1
-                dm.append((view(*off_hi) - view(*off_lo)) * (1.0 / h[axis]))
-            return dm
+            for m in range(-3, 4):
+                off = [0, 0]
+                off[axis] = m
+                dm.append(view(*off))
+            return [(dm[m + 1] - dm[m]) * (1.0 / h[axis]) for m in range(6)]
 
-        out = jnp.zeros((B0, n1), dtype=out_ref.dtype)
+        ham = jnp.zeros((B0, n1), dtype=out_ref.dtype)
         for axis, u_ref in ((0, u0_ref), (1, u1_ref)):
-            minus, plus = _weno_pair_from_dm(axis_dm(axis))
-            u = u_ref[:]
-            out = out + u * jnp.where(u > 0, minus, plus)
+            ham = ham + st.weno5_upwind(axis_dm(axis), u_ref[:])
+        out = coef_ref[1] * view(0, 0) - coef_ref[2] * ham
+        if with_aux:
+            out = coef_ref[0] * aux_ref[:] + out
         out_ref[:] = out
 
-    return kernel
+    return kernel, S0, S1_l
 
 
-def weno_hamiltonian_pallas(
-    padded: jnp.ndarray, u: Tuple[jnp.ndarray, ...], spacing, shape, interpret: bool = False
+def weno_stage_pallas(
+    padded: jnp.ndarray,
+    u: Tuple[jnp.ndarray, ...],
+    spacing,
+    shape,
+    coeffs=None,
+    aux: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+    tiles: Optional[Tuple[int, ...]] = None,
 ) -> jnp.ndarray:
-    """Run the fused kernel. ``padded`` is phi ghost-padded by 3 on every side;
-    ``u`` the per-axis velocity arrays (interior shape). Returns the Hamiltonian.
+    """Fused ``out = alpha*aux + beta*phi - gamma*H(phi, u)`` on a ghost-padded
+    field (``padded`` = phi padded by 3 on every side; ``u`` per-axis velocity,
+    interior shape; ``coeffs = (alpha, beta, gamma)``). ``coeffs=None`` returns
+    the plain Hamiltonian. One HBM pass per RK stage.
     """
     ndim = len(shape)
     dtype = padded.dtype
+    with_aux = aux is not None
+    if coeffs is None:
+        coeffs = (0.0, 0.0, -1.0)
+    coef = jnp.asarray(jnp.stack([jnp.asarray(c, dtype) for c in coeffs]))
+    # "arbitrary" grid semantics: the cross-program double-buffered slab
+    # prefetch is a deliberate cross-iteration dependency.
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * (3 if ndim == 3 else 1),
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
     if ndim == 3:
         n0, n1, n2 = shape
-        B0 = _pick_tile(n0)
-        B1 = _pick_tile(n1)
-        if B0 is None or B1 is None:
+        if tiles is not None:
+            B0, B1, B2 = tiles
+        else:
+            B0 = _pick_tile(n0, (16, 8, 4))
+            B1 = _pick_tile(n1, (32, 16, 8))
+            # lane-dim tiles must be 128-aligned (DMA offset k*B2); a single
+            # whole-extent tile (offset always 0) is exempt
+            B2 = _pick_tile(n2, (512, 256, 384, 128)) or n2
+        if B0 is None or B1 is None or B2 is None:
             raise ValueError(f"no tile size divides shape {shape}")
-        kernel = _make_kernel_3d(B0, B1, shape, spacing)
+        grid = (n0 // B0, n1 // B1, n2 // B2)
+        kernel = _make_kernel_3d(B0, B1, B2, spacing, grid, with_aux)
         # junk tails keep the aligned over-fetches in bounds: +2 sublane rows,
-        # lane dim rounded up to a multiple of 128
-        lane_pad = -(-(n2 + 2 * _G) // 128) * 128 - (n2 + 2 * _G)
-        padded = jnp.pad(padded, [(0, 0), (0, 2), (0, lane_pad)])
-        grid = (n0 // B0, n1 // B1)
-        ublock = lambda: pl.BlockSpec(
-            (B0, B1, n2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        # +122 lanes (fetch size B2+128 starting at the last k*B2)
+        padded = jnp.pad(padded, [(0, 0), (0, 2), (0, _LANE - 2 * _G)])
+        block = lambda: pl.BlockSpec(
+            (B0, B1, B2), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM
         )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs = [smem, pl.BlockSpec(memory_space=pl.ANY)] + [block()] * 3
+        args = [coef, padded, *u]
+        if with_aux:
+            in_specs.append(block())
+            args.append(aux)
         return pl.pallas_call(
             kernel,
             grid=grid,
             out_shape=jax.ShapeDtypeStruct(shape, dtype),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                ublock(),
-                ublock(),
-                ublock(),
-            ],
-            out_specs=pl.BlockSpec(
-                (B0, B1, n2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
+            in_specs=in_specs,
+            out_specs=block(),
             scratch_shapes=[
-                pltpu.VMEM(
-                    (B0 + 2 * _G, B1 + 2 * _G + 2, -(-(n2 + 2 * _G) // 128) * 128),
-                    dtype,
-                ),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, B0 + 2 * _G, B1 + 2 * _G + 2, B2 + _LANE), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=params,
             interpret=interpret,
-        )(padded, *u)
+        )(*args)
     if ndim == 2:
         n0, n1 = shape
-        B0 = _pick_tile(n0)
+        B0 = tiles[0] if tiles else _pick_tile(n0, (16, 8, 4))
         if B0 is None:
             raise ValueError(f"no tile size divides shape {shape}")
-        kernel = _make_kernel_2d(B0, shape, spacing)
-        lane_pad = -(-(n1 + 2 * _G) // 128) * 128 - (n1 + 2 * _G)
+        kernel, S0, S1_l = _make_kernel_2d(B0, shape, spacing, with_aux)
+        lane_pad = S1_l - (n1 + 2 * _G)
         padded = jnp.pad(padded, [(0, 2), (0, lane_pad)])
         grid = (n0 // B0,)
         ublock = lambda: pl.BlockSpec(
             (B0, n1), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs = [smem, pl.BlockSpec(memory_space=pl.ANY), ublock(), ublock()]
+        args = [coef, padded, *u]
+        if with_aux:
+            in_specs.append(ublock())
+            args.append(aux)
         return pl.pallas_call(
             kernel,
             grid=grid,
             out_shape=jax.ShapeDtypeStruct(shape, dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), ublock(), ublock()],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((B0, n1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM(
-                    (B0 + 2 * _G + 2, -(-(n1 + 2 * _G) // 128) * 128), dtype
-                ),
+                pltpu.VMEM((S0, S1_l), dtype),
                 pltpu.SemaphoreType.DMA,
             ],
+            compiler_params=params,
             interpret=interpret,
-        )(padded, *u)
+        )(*args)
     raise ValueError("pallas WENO kernel supports 2D and 3D only")
+
+
+def weno_hamiltonian_pallas(
+    padded: jnp.ndarray,
+    u: Tuple[jnp.ndarray, ...],
+    spacing,
+    shape,
+    interpret: bool = False,
+    tiles: Optional[Tuple[int, ...]] = None,
+) -> jnp.ndarray:
+    """Plain WENO5 advection Hamiltonian (no fused axpy)."""
+    return weno_stage_pallas(
+        padded, u, spacing, shape, coeffs=None, aux=None, interpret=interpret, tiles=tiles
+    )
 
 
 def _weno_hamiltonian_jnp(padded, u, spacing, shape):
     out = 0.0
     for ax, h in enumerate(spacing):
-        dminus = st.weno5m(padded, ax, h, _G, shape)
-        dplus = st.weno5p(padded, ax, h, _G, shape)
-        out = out + u[ax] * jnp.where(u[ax] > 0, dminus, dplus)
+        out = out + st.weno5_upwind(st.weno5_pair_diffs(padded, ax, h, _G, shape), u[ax])
+    return out
+
+
+def _stage_jnp(padded, u, aux, coeffs, spacing, shape):
+    ham = _weno_hamiltonian_jnp(padded, u, spacing, shape)
+    center = st.shift(padded, (0,) * len(shape), _G, shape)
+    out = coeffs[1] * center - coeffs[2] * ham
+    if aux is not None:
+        out = coeffs[0] * aux + out
     return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def weno_advection_rhs(padded, u, spacing, shape, use_pallas=False):
+def weno_advection_rhs(padded, u, spacing, shape, use_pallas=True):
     """WENO5 advection Hamiltonian on a ghost-padded field; differentiable.
 
     Forward runs the fused Pallas kernel when ``use_pallas`` and available
@@ -249,10 +338,6 @@ def weno_advection_rhs(padded, u, spacing, shape, use_pallas=False):
     of the jnp path, recomputed from the saved primals (the standard
     recompute-in-backward trade for stencils — residuals would cost more HBM
     than the recompute).
-
-    ``use_pallas`` currently defaults to False: on the measured chip XLA's own
-    stencil fusion beats the first-cut kernel (1.84 vs 3.01 ms at 128^3, see
-    docs/perf-notes.md); the kernel stays available and tested for tuning.
     """
     if use_pallas and pallas_available() and len(shape) in (2, 3):
         try:
@@ -275,3 +360,48 @@ def _rhs_bwd(spacing, shape, use_pallas, res, g):
 
 
 weno_advection_rhs.defvjp(_rhs_fwd, _rhs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def weno_advection_stage(padded, u, aux, coeffs, spacing, shape, use_pallas=True):
+    """Fused RK-stage ``alpha*aux + beta*phi - gamma*H(phi, u)``; differentiable.
+
+    ``coeffs = (alpha, beta, gamma)`` (traced scalars are fine — they land in
+    SMEM, so CFL-adaptive ``dt`` does not recompile). ``aux`` may be ``None``
+    (forward Euler / first RK stage). One HBM pass per stage on TPU.
+    """
+    coeffs = tuple(coeffs)
+    if use_pallas and pallas_available() and len(shape) in (2, 3):
+        try:
+            return weno_stage_pallas(
+                padded, tuple(u), spacing, shape, coeffs=coeffs, aux=aux
+            )
+        except ValueError:
+            pass
+    return _stage_jnp(padded, tuple(u), aux, coeffs, spacing, shape)
+
+
+def _stage_fwd(padded, u, aux, coeffs, spacing, shape, use_pallas):
+    out = weno_advection_stage(padded, u, aux, coeffs, spacing, shape, use_pallas)
+    return out, (padded, u, aux, coeffs)
+
+
+def _stage_bwd(spacing, shape, use_pallas, res, g):
+    padded, u, aux, coeffs = res
+    if aux is None:
+        def f(p, uu, cf):
+            return _stage_jnp(p, uu, None, cf, spacing, shape)
+
+        _, vjp = jax.vjp(f, padded, tuple(u), tuple(coeffs))
+        d_padded, d_u, d_coeffs = vjp(g)
+        d_aux = None
+    else:
+        def f(p, uu, ax, cf):
+            return _stage_jnp(p, uu, ax, cf, spacing, shape)
+
+        _, vjp = jax.vjp(f, padded, tuple(u), aux, tuple(coeffs))
+        d_padded, d_u, d_aux, d_coeffs = vjp(g)
+    return d_padded, type(u)(d_u), d_aux, type(coeffs)(d_coeffs)
+
+
+weno_advection_stage.defvjp(_stage_fwd, _stage_bwd)
