@@ -78,7 +78,7 @@ def _pick_tile(n: int, targets) -> Optional[int]:
     return None
 
 
-def _make_kernel_3d(B0: int, B1: int, B2: int, spacing, grid_dims, with_aux: bool):
+def _make_kernel_3d(B0: int, B1: int, B2: int, S2: int, spacing, grid_dims, with_aux: bool):
     h = spacing
     G0, G1, G2 = grid_dims
     total = G0 * G1 * G2
@@ -97,14 +97,19 @@ def _make_kernel_3d(B0: int, B1: int, B2: int, spacing, grid_dims, with_aux: boo
         # Aligned over-fetch: dim0 is unconstrained (fetch exactly B0+6 from
         # offset i*B0 — the padded array's left ghost makes that the halo
         # start); dim1 offset j*B1 is sublane-aligned (B1 % 8 == 0), size
-        # rounded to B1+8; dim2 offset k*B2 is lane-aligned (B2 % 128 == 0),
-        # size rounded to B2+128. The padded input carries matching junk tails.
+        # rounded to B1+8; dim2 offset k*B2 is lane-aligned (B2 % 128 == 0 or
+        # single whole-extent tile at offset 0), size S2 rounded up to a lane
+        # multiple. The padded input carries matching junk tails.
         def dma(slot, i2, j2, k2):
+            # G2 == 1 ⇒ the only lane-dim offset is 0; pass it as a constant so
+            # Mosaic can prove lane alignment (a traced k2*B2 with B2 % 128 != 0
+            # is rejected even though k2 is always 0).
+            off2 = (k2 * B2) if G2 > 1 else 0
             return pltpu.make_async_copy(
                 p_hbm.at[
                     pl.ds(i2 * B0, B0 + 2 * _G),
                     pl.ds(j2 * B1, B1 + 2 * _G + 2),
-                    pl.ds(k2 * B2, B2 + _LANE),
+                    pl.ds(off2, S2),
                 ],
                 slab.at[slot],
                 sem.at[slot],
@@ -239,10 +244,13 @@ def weno_stage_pallas(
         if B0 is None or B1 is None or B2 is None:
             raise ValueError(f"no tile size divides shape {shape}")
         grid = (n0 // B0, n1 // B1, n2 // B2)
-        kernel = _make_kernel_3d(B0, B1, B2, spacing, grid, with_aux)
+        # lane-dim fetch extent: B2+2*_G rounded up to a multiple of 128
+        # (Mosaic requires DMA slice *sizes* on the lane dim to be lane-aligned)
+        S2 = -(-(B2 + 2 * _G) // _LANE) * _LANE
+        kernel = _make_kernel_3d(B0, B1, B2, S2, spacing, grid, with_aux)
         # junk tails keep the aligned over-fetches in bounds: +2 sublane rows,
-        # +122 lanes (fetch size B2+128 starting at the last k*B2)
-        padded = jnp.pad(padded, [(0, 0), (0, 2), (0, _LANE - 2 * _G)])
+        # +(S2-B2-6) lanes (fetch size S2 starting at the last k*B2)
+        padded = jnp.pad(padded, [(0, 0), (0, 2), (0, S2 - B2 - 2 * _G)])
         block = lambda: pl.BlockSpec(
             (B0, B1, B2), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM
         )
@@ -259,7 +267,7 @@ def weno_stage_pallas(
             in_specs=in_specs,
             out_specs=block(),
             scratch_shapes=[
-                pltpu.VMEM((2, B0 + 2 * _G, B1 + 2 * _G + 2, B2 + _LANE), dtype),
+                pltpu.VMEM((2, B0 + 2 * _G, B1 + 2 * _G + 2, S2), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=params,
