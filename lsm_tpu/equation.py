@@ -116,7 +116,7 @@ class LevelSetEquation:
             raise ValueError(f"tf = {tf} is before current time t = {self.t}")
 
         if prehook is None and posthook is None:
-            phi, terms, _ = _loop.evolve(
+            phi, terms, t_reached, _ = _loop.evolve(
                 self.integrator, self.terms, self.state, self.t, tf, dt_max,
                 max_steps=max_steps,
             )
@@ -125,7 +125,8 @@ class LevelSetEquation:
                     "non-finite state after integrate(); check for NaN/Inf velocities "
                     "or an invalid CFL time step"
                 )
-            self.state, self.terms, self.t = phi, terms, tf
+            # an early stop (max_steps) reports the time actually reached, not tf
+            self.state, self.terms, self.t = phi, terms, float(t_reached)
             return self
 
         alpha = self.integrator.cfl
@@ -152,7 +153,11 @@ class LevelSetEquation:
             nsteps += 1
             if posthook is not None:
                 posthook(self)
-        self.t = tf
+        if self.t > tf - eps:
+            # reached tf: snap away accumulated float dust so repeated
+            # integrate() calls chain exactly; an early max_steps stop keeps
+            # the time actually integrated to.
+            self.t = tf
         return self
 
     def __repr__(self):

@@ -45,7 +45,9 @@ def evolve(
     max_steps: Optional[int] = None,
 ):
     """Evolve ``phi`` from ``t0`` to exactly ``tf`` with adaptive CFL time steps,
-    entirely on device (``lax.while_loop``). Returns ``(phi, terms, nsteps)``.
+    entirely on device (``lax.while_loop``). Returns ``(phi, terms, t, nsteps)``
+    where ``t`` is the time actually reached (``== tf`` unless the loop stopped
+    early on ``max_steps`` or a non-positive ``dt``).
 
     ``max_steps`` optionally bounds the iteration count (guards against a
     vanishing CFL); the loop also stops if ``dt`` becomes non-positive or NaN.
@@ -76,7 +78,12 @@ def evolve(
     phi, terms, t, n, ok = jax.lax.while_loop(
         cond, body, (phi, terms, t0, jnp.asarray(0, jnp.int32), jnp.asarray(True))
     )
-    return phi, terms, n
+    # Steps land exactly on tf (dt is clamped to tf - t); snap away the residual
+    # float dust, but only when the loop actually reached tf (an early stop on
+    # max_steps/dt<=0 must report the time really integrated to).
+    reached = t > tf - eps * jnp.maximum(jnp.abs(tf), 1.0)
+    t = jnp.where(reached, tf, t)
+    return phi, terms, t, n
 
 
 @partial(jax.jit, static_argnames=("integrator", "nsteps", "unroll"))

@@ -193,6 +193,34 @@ def test_hooks_and_step_count():
     assert np.isclose(eq.t, 0.1)
 
 
+def test_max_steps_reports_reached_time():
+    # an early stop on max_steps must report the time actually integrated to,
+    # not tf (round-1 regression: equation.py set self.t = tf unconditionally)
+    def make_eq():
+        grid = Grid((-1.0,), (1.0,), (64,))
+        phi = sample(lambda X: jnp.sin(jnp.pi * X), grid)
+        return LevelSetEquation(
+            terms=(AdvectionTerm(lambda xs, t: (jnp.ones_like(xs[0]),)),),
+            ic=phi, bc=Periodic(),
+        )
+
+    tf = 1.0
+    # device-resident branch (no hooks)
+    eq = make_eq()
+    eq.integrate(tf, max_steps=3)
+    assert eq.t < tf
+    assert eq.t > 0.0
+    t3 = eq.t
+    # host-loop branch (hooks installed) stops at the same time
+    eq2 = make_eq()
+    eq2.integrate(tf, max_steps=3, posthook=lambda e: None)
+    assert eq2.t < tf
+    assert np.isclose(eq2.t, t3, rtol=1e-6)
+    # continuing to tf still lands exactly on tf
+    eq2.integrate(tf)
+    assert eq2.t == tf
+
+
 def test_bc_resolution_rules():
     grid = Grid((-1.0,), (1.0,), (16,))
     phi = sample(lambda X: X, grid)

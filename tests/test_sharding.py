@@ -54,13 +54,19 @@ def test_halo_pad_matches_local_pad(bc):
     fn = shard_map(
         local, mesh=mesh, in_specs=P("x", "y"), out_specs=P("x", "y"), check_vma=False
     )
-    got_sharded = fn(v)
-    # each shard produced its ghost-extended block; reassemble interior+halos:
-    # instead compare via gather of a reference: run with 1x1 mesh equivalence —
-    # simplest check: the shard-level output concatenated equals block-extended
-    # pad. We verify the physically meaningful parts by slicing shard (0,0):
-    # easier and strong: run a stencil through HaloField below.
-    assert got_sharded.shape == (32 + 6 * 4, 16 + 6 * 2)
+    got = np.asarray(fn(v))
+    # shard_map tiles each shard's (l0+6, l1+6) padded block back in mesh order;
+    # shard (i, j)'s block must equal the matching window of the GLOBAL ghost pad
+    # (interior + exchanged halos + physical BC ghosts, including corners).
+    l0, l1 = 32 // 4, 16 // 2
+    b0, b1 = l0 + 6, l1 + 6
+    assert got.shape == (b0 * 4, b1 * 2)
+    for i in range(4):
+        for j in range(2):
+            block = got[i * b0 : (i + 1) * b0, j * b1 : (j + 1) * b1]
+            want = expect[i * l0 : i * l0 + b0, j * l1 : j * l1 + b1]
+            np.testing.assert_allclose(block, want, rtol=0, atol=1e-12,
+                                       err_msg=f"shard ({i},{j}) ghost values")
 
 
 @pytest.mark.parametrize(
