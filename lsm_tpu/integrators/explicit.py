@@ -16,9 +16,27 @@ from __future__ import annotations
 import dataclasses
 
 from ..core.field import MeshField
-from ..terms.terms import total_rhs, update_terms
+from ..terms.terms import fused_stage_term, total_rhs, update_terms
 
 __all__ = ["TimeIntegrator", "ForwardEuler", "RK2", "RK3"]
+
+
+def _stage(terms, phi, t, aux, coeffs):
+    """One RK stage ``alpha*aux + beta*phi - gamma*L(phi, t)`` as values.
+
+    Takes the fused one-HBM-pass Pallas stage kernel when the term list is a
+    single WENO5 advection term (``AdvectionTerm.stage_values``); otherwise the
+    generic rhs + axpy. ``aux`` is a values array or ``None``; ``coeffs =
+    (alpha, beta, gamma)`` with traced scalars welcome.
+    """
+    term = fused_stage_term(terms)
+    if term is not None:
+        return term.stage_values(phi, t, aux, coeffs)
+    alpha, beta, gamma = coeffs
+    out = beta * phi.values - gamma * total_rhs(terms, phi, t)
+    if aux is not None:
+        out = alpha * aux + out
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,7 +59,7 @@ class ForwardEuler(TimeIntegrator):
 
     def advance(self, terms, phi, t, dt):
         terms = update_terms(terms, phi, t)
-        phi_new = phi.with_values(phi.values - dt * total_rhs(terms, phi, t))
+        phi_new = phi.with_values(_stage(terms, phi, t, None, (0.0, 1.0, dt)))
         return phi_new, terms
 
     def describe(self):
@@ -54,12 +72,15 @@ class RK2(TimeIntegrator):
     ``timestepping.jl:141-164``)."""
 
     def advance(self, terms, phi, t, dt):
+        # Heun in convex-combination (SSP) form so each stage is one fused
+        # axpy+Hamiltonian pass: pred = phi - dt L(phi);
+        # phi_new = 1/2 phi + 1/2 (pred - dt L(pred)).
         terms = update_terms(terms, phi, t)
-        k1 = total_rhs(terms, phi, t)
-        pred = phi.with_values(phi.values - dt * k1)
+        pred = phi.with_values(_stage(terms, phi, t, None, (0.0, 1.0, dt)))
         terms = update_terms(terms, pred, t + dt)
-        k2 = total_rhs(terms, pred, t + dt)
-        phi_new = phi.with_values(phi.values - 0.5 * dt * (k1 + k2))
+        phi_new = phi.with_values(
+            _stage(terms, pred, t + dt, phi.values, (0.5, 0.5, 0.5 * dt))
+        )
         return phi_new, terms
 
     def describe(self):
@@ -71,13 +92,21 @@ class RK3(TimeIntegrator):
     """Third-order Shu-Osher TVD Runge-Kutta (``timestepping.jl:168-202``)."""
 
     def advance(self, terms, phi, t, dt):
+        # Shu-Osher stages in fused axpy form (one HBM pass per stage):
+        #   u1 = phi - dt L(phi)
+        #   u2 = 3/4 phi + 1/4 u1 - 1/4 dt L(u1)
+        #   out = 1/3 phi + 2/3 u2 - 2/3 dt L(u2)
         terms = update_terms(terms, phi, t)
-        u1 = phi.with_values(phi.values - dt * total_rhs(terms, phi, t))
+        u1 = phi.with_values(_stage(terms, phi, t, None, (0.0, 1.0, dt)))
         terms = update_terms(terms, u1, t + dt)
-        u2_vals = 0.75 * phi.values + 0.25 * (u1.values - dt * total_rhs(terms, u1, t + dt))
-        u2 = phi.with_values(u2_vals)
+        u2 = phi.with_values(
+            _stage(terms, u1, t + dt, phi.values, (0.75, 0.25, 0.25 * dt))
+        )
         terms = update_terms(terms, u2, t + 0.5 * dt)
-        new_vals = (phi.values + 2.0 * (u2.values - dt * total_rhs(terms, u2, t + 0.5 * dt))) / 3.0
+        third = 1.0 / 3.0
+        new_vals = _stage(
+            terms, u2, t + 0.5 * dt, phi.values, (third, 2.0 * third, 2.0 * third * dt)
+        )
         return phi.with_values(new_vals), terms
 
     def describe(self):
