@@ -1,0 +1,147 @@
+"""Forward-only fused evolution driver on the persistent padded layout.
+
+The fast path for dense 3D lane-aligned grids whose terms are all fusible
+(WENO5 advection / Godunov normal motion / curvature / Eikonal reinit with no
+``update_func``): the level set lives in the v2 padded buffer between steps,
+each RK stage is ONE :func:`~lsm_tpu.ops.weno_v2.fused_stage` kernel pass plus
+an O(N^2) ghost-shell refresh — no full-grid pad, no separate axpy, and (for
+coordinate-callable coefficients) no coefficient streaming.
+
+Reference stage algebra: ``/root/reference/src/timestepping.jl:126-202``.
+Differentiable and general cases stay on the v1 path
+(:meth:`AdvectionTerm.stage_values` inside the standard integrators).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.field import MeshField
+from ..ops import weno_v2 as v2
+from .explicit import RK2, RK3, ForwardEuler, TimeIntegrator
+
+__all__ = ["FusedStepper", "supports_fused"]
+
+
+def _term_spec(term, phi):
+    """(TermSpec, streams) for a fusible term, or None."""
+    from ..terms import terms as T
+
+    def coef_spec(kind, coef, n_comp):
+        if isinstance(coef, MeshField):
+            if n_comp == 3:
+                if not coef.is_vector:
+                    return None
+                return v2.TermSpec(kind, "stream", None, 3), tuple(
+                    coef.values[d] for d in range(3))
+            return v2.TermSpec(kind, "stream", None, 1), (coef.values,)
+        if callable(coef):
+            return v2.TermSpec(kind, "analytic", coef, 0), ()
+        if isinstance(coef, (float, int)):
+            return v2.TermSpec(kind, "const", float(coef), 0), ()
+        arr = jnp.asarray(coef)
+        if n_comp == 3:
+            return v2.TermSpec(kind, "stream", None, 3), tuple(arr[d] for d in range(3))
+        return v2.TermSpec(kind, "stream", None, 1), (arr,)
+
+    if isinstance(term, T.AdvectionTerm):
+        if term.scheme != "weno5" or term.update_func is not None:
+            return None
+        return coef_spec("advection", term.velocity, 3)
+    if isinstance(term, T.NormalMotionTerm):
+        if term.update_func is not None:
+            return None
+        return coef_spec("normal", term.speed, 1)
+    if isinstance(term, T.CurvatureTerm):
+        return coef_spec("curvature", term.b, 1)
+    if isinstance(term, T.EikonalReinitializationTerm):
+        if term.s0 is None:
+            return v2.TermSpec("eikonal", "none", None, 0), ()
+        return v2.TermSpec("eikonal", "stream", None, 1), (term.s0.values,)
+    return None
+
+
+def supports_fused(terms, phi: MeshField) -> bool:
+    """Whether (terms, phi) qualifies for the fused padded-state driver."""
+    if not isinstance(terms, (tuple, list)):
+        terms = (terms,)
+    return (
+        v2.supports_v2(tuple(phi.shape), phi.bcs)
+        and not phi.is_vector
+        and phi.active_mask is None  # dense fields only
+        and all(_term_spec(t, phi) is not None for t in terms)
+    )
+
+
+class FusedStepper:
+    """Padded-state stepping for ``phi_t + sum_n H_n = 0`` (fusible terms).
+
+    Usage::
+
+        stepper = FusedStepper(terms, phi, integrator)
+        P = stepper.pack(phi.values)
+        for _ in range(nsteps):
+            P = stepper.step(P, t, dt)     # jitted, donates P
+            t += dt
+        values = stepper.unpack(P)
+    """
+
+    def __init__(self, terms, phi: MeshField, integrator: TimeIntegrator,
+                 tiles: Optional[Tuple[int, int]] = None, interpret: bool = False):
+        if not isinstance(terms, (tuple, list)):
+            terms = (terms,)
+        if not supports_fused(terms, phi):
+            raise ValueError("configuration not supported by the fused driver")
+        self.shape = tuple(phi.shape)
+        self.bcs = phi.bcs
+        self.spacing = tuple(float(h) for h in phi.spacing)
+        self.lo = tuple(float(x) for x in phi.grid.lo)
+        self.tiles = tiles
+        self.interpret = interpret
+        self.specs = tuple(_term_spec(t, phi) for t in terms)
+        if isinstance(integrator, RK3):
+            self._table = "rk3"
+        elif isinstance(integrator, RK2):
+            self._table = "rk2"
+        elif isinstance(integrator, ForwardEuler):
+            self._table = "fe"
+        else:
+            raise ValueError(f"unsupported integrator {integrator!r} for fused driver")
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    # -- layout -----------------------------------------------------------------
+
+    def pack(self, values: jnp.ndarray) -> jnp.ndarray:
+        return v2.pack_padded(values, self.bcs)
+
+    def unpack(self, padded: jnp.ndarray) -> jnp.ndarray:
+        return v2.unpack_padded(padded, self.shape)
+
+    # -- stepping ---------------------------------------------------------------
+
+    def _stage(self, P, coeffs, t_stage, aux):
+        out = v2.fused_stage(
+            P, self.specs, coeffs, t_stage, aux, self.bcs, self.spacing,
+            self.shape, self.lo, tiles=self.tiles, interpret=self.interpret,
+        )
+        return v2.refresh_ghosts(out, self.bcs, self.shape)
+
+    def _step_impl(self, P, t, dt):
+        t = jnp.asarray(t, P.dtype)
+        dt = jnp.asarray(dt, P.dtype)
+        if self._table == "fe":
+            return self._stage(P, (0.0, 1.0, dt), t, None)
+        if self._table == "rk2":
+            p1 = self._stage(P, (0.0, 1.0, dt), t, None)
+            return self._stage(p1, (0.5, 0.5, 0.5 * dt), t + dt, P)
+        p1 = self._stage(P, (0.0, 1.0, dt), t, None)
+        p2 = self._stage(p1, (0.75, 0.25, 0.25 * dt), t + dt, P)
+        third = 1.0 / 3.0
+        return self._stage(p2, (third, 2.0 * third, 2.0 * third * dt), t + 0.5 * dt, P)
+
+    def step(self, P: jnp.ndarray, t, dt) -> jnp.ndarray:
+        """One accepted step (jitted; donates ``P``)."""
+        return self._step(P, t, dt)

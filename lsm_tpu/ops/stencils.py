@@ -44,19 +44,22 @@ PAD_WENO5 = 3
 
 
 def shift(
-    p: jnp.ndarray, offsets, g: int, shape: Sequence[int]
+    p: jnp.ndarray, offsets, g, shape: Sequence[int]
 ) -> jnp.ndarray:
     """Interior-shaped view ``phi[I + offsets]`` of a padded array.
 
-    ``offsets`` is a per-spatial-dim tuple of integer shifts. Leading (component)
-    axes of ``p`` beyond ``len(shape)`` are passed through.
+    ``offsets`` is a per-spatial-dim tuple of integer shifts. ``g`` is the ghost
+    width — an int (uniform) or a per-spatial-dim tuple (the fused kernels pad
+    the sublane dim wider for DMA alignment). Leading (component) axes of ``p``
+    beyond ``len(shape)`` are passed through.
     """
     nspatial = len(shape)
     lead = p.ndim - nspatial
+    gs = (g,) * nspatial if isinstance(g, int) else tuple(g)
     sl = [slice(None)] * lead
     for d in range(nspatial):
-        off = offsets[d]
-        sl.append(slice(g + off, g + off + shape[d]))
+        off = gs[d] + offsets[d]
+        sl.append(slice(off, off + shape[d]))
     return p[tuple(sl)]
 
 
