@@ -53,6 +53,10 @@ def shift(
     the sublane dim wider for DMA alignment). Leading (component) axes of ``p``
     beyond ``len(shape)`` are passed through.
     """
+    if hasattr(p, "shift_view"):
+        # virtual padded arrays (e.g. the fused kernels' lane-roll slab view)
+        # synthesize shifted tiles themselves; ``g`` is baked into the view
+        return p.shift_view(tuple(offsets), tuple(shape))
     nspatial = len(shape)
     lead = p.ndim - nspatial
     gs = (g,) * nspatial if isinstance(g, int) else tuple(g)

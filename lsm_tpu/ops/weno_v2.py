@@ -155,19 +155,88 @@ def _lane_ghosts(core: jnp.ndarray, bc, side: str, n: int):
             rows = range(_G - 1, -1, -1)  # innermost-first
         out = []
         for g in rows:
-            acc = W[g, 0] * nodes[0]
+            # Python-float weights: numpy f64 scalars would promote the whole
+            # f32 kernel graph under jax_enable_x64
+            acc = float(W[g, 0]) * nodes[0]
             for j in range(1, P + 1):
-                acc = acc + W[g, j] * nodes[j]
+                acc = acc + float(W[g, j]) * nodes[j]
             out.append(acc)
         return out
     raise TypeError(f"unsupported boundary condition {bc!r}")
 
 
 def _lane_extend(core: jnp.ndarray, bc_pair, n: int) -> jnp.ndarray:
-    """Concatenate lane ghosts onto the core block: (..., n) -> (..., n+2G)."""
+    """Concatenate lane ghosts onto the core block: (..., n) -> (..., n+2G).
+
+    (Kept for reference/tests; the kernel uses :class:`_LaneRollView` instead —
+    the lane-unaligned concatenated width makes every downstream Mosaic op a
+    masked multi-tile relayout and blows up compile time at large n.)
+    """
     gl = _lane_ghosts(core, bc_pair[0], "left", n)
     gr = _lane_ghosts(core, bc_pair[1], "right", n)
     return jnp.concatenate(gl + [core] + gr, axis=-1)
+
+
+def _lane_shift(block: jnp.ndarray, k: int, bc_pair, n: int,
+                interpret: bool) -> jnp.ndarray:
+    """``block`` shifted by ``k`` along the (full-grid-extent) lane dim with BC
+    ghost values on the wrapped edge lanes — all shapes stay (B0, B1, n2), so
+    Mosaic never sees an unaligned lane width."""
+    if k == 0:
+        return block
+    if interpret:
+        rolled = jnp.roll(block, -k, axis=2)
+    else:
+        # pltpu.roll rejects negative shifts; cyclic roll by -k == roll by n-k
+        rolled = pltpu.roll(block, (-k) % n, axis=2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    out = rolled
+    if k < 0:
+        gl = _lane_ghosts(block, bc_pair[0], "left", n)  # outermost-first (d=3,2,1)
+        for j in range(-k):  # lanes j: j + k < 0 -> ghost at distance -(j+k)
+            out = jnp.where(iota == j, gl[_G + j + k], out)
+    else:
+        gr = _lane_ghosts(block, bc_pair[1], "right", n)  # innermost-first (d=1,2,3)
+        for j in range(n - k, n):  # lanes j: j + k > n-1 -> ghost distance j+k-n+1
+            out = jnp.where(iota == j, gr[j + k - n], out)
+    return out
+
+
+class _LaneRollView:
+    """Virtual padded array over the VMEM halo slab.
+
+    Dims 0/1 ghosts live in the slab (memory offsets ``_G`` / ``_G1``); lane-dim
+    (dim 2) shifts are synthesized on demand by :func:`_lane_shift`. Every
+    stencil helper reaches values through :func:`lsm_tpu.ops.stencils.shift`,
+    which delegates here, so the whole jnp stencil library runs unchanged on
+    the slab while every intermediate stays lane-aligned at width ``n2``.
+    """
+
+    __slots__ = ("slab", "bc_pair", "B0", "B1", "n2", "dtype", "interpret", "_cache")
+
+    def __init__(self, slab, bc_pair, tile_shape, interpret=False):
+        self.slab = slab
+        self.bc_pair = bc_pair
+        self.B0, self.B1, self.n2 = tile_shape
+        self.dtype = slab.dtype
+        self.interpret = interpret
+        self._cache = {}
+
+    def _block(self, o0: int, o1: int) -> jnp.ndarray:
+        key = ("blk", o0, o1)
+        if key not in self._cache:
+            self._cache[key] = self.slab[
+                _G + o0:_G + o0 + self.B0, _G1 + o1:_G1 + o1 + self.B1, :
+            ]
+        return self._cache[key]
+
+    def shift_view(self, offsets, shape) -> jnp.ndarray:
+        o0, o1, o2 = offsets
+        if offsets not in self._cache:
+            self._cache[offsets] = _lane_shift(
+                self._block(o0, o1), o2, self.bc_pair, self.n2, self.interpret
+            )
+        return self._cache[offsets]
 
 
 # -- term specs ---------------------------------------------------------------------
@@ -256,7 +325,7 @@ def _as_components(u, k):
 
 
 def _make_kernel(B0, B1, shape, spacing, grid_dims, bcs2, term_specs,
-                 with_aux, lo, dx_min, dtype):
+                 with_aux, lo, dx_min, dtype, interpret=False):
     n0, n1, n2 = shape
     G0, G1 = grid_dims
     total = G0 * G1
@@ -317,10 +386,10 @@ def _make_kernel(B0, B1, shape, spacing, grid_dims, bcs2, term_specs,
 
         dma_in(slot, i, j).wait()
 
-        # lane-extended slab: dim-2 ghosts built in VMEM from the BC
-        ext = _lane_extend(slab[slot], bcs2, n2)
+        # virtual padded view of the slab: dim-2 ghosts synthesized lane-aligned
         tile_shape = (B0, B1, n2)
-        gview = (_G, _G1, _G)  # per-axis ghost offsets of the interior in ext
+        ext = _LaneRollView(slab[slot], bcs2, tile_shape, interpret=interpret)
+        gview = 0  # ignored: the view bakes the ghost offsets in
         center = st.shift(ext, (0, 0, 0), gview, tile_shape)
 
         coords = None
@@ -424,7 +493,7 @@ def fused_stage(
     kernel = _make_kernel(
         B0, B1, shape, tuple(float(h) for h in spacing), grid, bcs[2],
         term_specs, with_aux, tuple(float(x) for x in lo),
-        float(min(spacing)), dtype,
+        float(min(spacing)), dtype, interpret=interpret,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -160,12 +160,17 @@ def _leaf_spec(leaf, mesh: Mesh, grid_ndim: int):
 
 
 def make_sharded_step(integrator, mesh: Mesh, grid: Grid):
-    """Build a jitted shard_map step ``(terms, phi_values, t, dt) -> new_values``.
+    """Build a jitted shard_map step ``(terms, phi, t, dt) -> phi_new``.
 
-    Coefficient fields inside the terms must be arrays / MeshFields (sharded
-    alongside phi); coordinate-callable coefficients cannot see shard-local
-    coordinates and are rejected by omission.
+    ``phi`` may be a dense :class:`MeshField` or a
+    :class:`~lsm_tpu.core.narrowband.NarrowBandField` (the band masks shard as
+    ordinary leaves; masked updates apply shard-locally). Coefficient fields
+    inside the terms must be arrays / MeshFields (sharded alongside phi);
+    coordinate-callable coefficients cannot see shard-local coordinates and are
+    rejected by omission.
     """
+    from ..core.narrowband import NarrowBandField
+
     ndim = grid.ndim
     names = list(mesh.axis_names)[:ndim]
     shard_axes = tuple(names[d] if d < len(names) else None for d in range(ndim))
@@ -176,22 +181,38 @@ def make_sharded_step(integrator, mesh: Mesh, grid: Grid):
 
     def step(terms, phi: MeshField, t, dt):
         bcs = phi.bcs  # static; closed over by the local step
+        is_band = isinstance(phi, NarrowBandField)
 
-        def local_step(terms, phi_values, t, dt):
-            hf = HaloField(phi_values, grid, bcs, shard_axes, axis_sizes)
+        def local_step(terms, leaves, t, dt):
+            if is_band:
+                from .evolve import ShardedNarrowBandField
+
+                values, mask, cmask = leaves
+                hf = ShardedNarrowBandField(
+                    values, grid, bcs, mask, phi.nlayers, cmask,
+                    shard_axes, axis_sizes,
+                )
+            else:
+                hf = HaloField(leaves[0], grid, bcs, shard_axes, axis_sizes)
             out, _ = integrator.advance(terms, hf, t, dt)
             return out.values
 
+        leaves = (
+            (phi.values, phi.mask, phi.compute_mask) if is_band else (phi.values,)
+        )
         specs_terms = jax.tree_util.tree_map(lambda l: _leaf_spec(l, mesh, ndim), terms)
-        phi_spec = _leaf_spec(phi.values, mesh, ndim)
+        leaf_specs = tuple(_leaf_spec(l, mesh, ndim) for l in leaves)
         fn = shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(specs_terms, phi_spec, P(), P()),
-            out_specs=phi_spec,
+            in_specs=(specs_terms, leaf_specs, P(), P()),
+            out_specs=leaf_specs[0],
             check_vma=False,
         )
-        new_values = fn(terms, phi.values, t, dt)
+        new_values = fn(terms, leaves, t, dt)
+        if is_band:
+            # the local steps already applied the compute-mask freeze
+            return phi.with_values(new_values, mask_update=False)
         return phi.with_values(new_values)
 
     return jax.jit(step)

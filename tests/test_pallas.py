@@ -39,6 +39,25 @@ def test_interpret_parity_3d():
     assert float(jnp.abs(out - ref).max()) < 1e-5
 
 
+def test_interpret_parity_3d_multi_lane_tile():
+    # exercises the G2 > 1 branch (traced lane-dim DMA offset k2*B2): lane
+    # extent 256 split into two 128-wide tiles
+    grid = Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (8, 8, 256))
+    phi = sample(shapes.zalesak_sphere(), grid, Periodic(), dtype=jnp.float32)
+    vel = sample(
+        lambda X, Y, Z: (0.5 - Y + 0 * (X + Z), X - 0.5 + 0 * (Y + Z), 0.1 + 0 * (X + Y + Z)),
+        grid, vector=True, dtype=jnp.float32,
+    )
+    u = tuple(vel.values[d] for d in range(3))
+    p = phi.pad(3)
+    ref = _weno_hamiltonian_jnp(p, u, grid.spacing, grid.shape)
+    out = weno_hamiltonian_pallas(
+        p, u, grid.spacing, grid.shape, interpret=True, tiles=(8, 8, 128)
+    )
+    assert int(jnp.isnan(out).sum()) == 0
+    assert float(jnp.abs(out - ref).max()) < 1e-5
+
+
 def test_interpret_parity_2d():
     grid, phi, u = _setup(2, 64)
     p = phi.pad(3)
