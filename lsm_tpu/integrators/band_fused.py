@@ -1,0 +1,188 @@
+"""Band-proportional fused evolution driver (active-tile dispatch).
+
+Drives :func:`lsm_tpu.ops.band_pallas.band_stage` for dense 3D narrow-band
+fields: per accepted step the compute mask is reduced to an active-tile
+dispatch list, each RK stage runs ONE Pallas kernel over just those tiles, and
+the band is re-tubed (``update_band!`` semantics,
+``/root/reference/src/meshfield.jl:553-588``). Step cost scales with the
+interface area (plus O(N^2) ghost-shell refreshes and an O(N) boolean mask
+dilation), not with the grid volume.
+
+Buffer discipline: three persistent padded buffers rotate through the RK
+stages. Off-band cells are frozen by the band invariant, so every buffer
+always holds correct values outside the compute band — a stage only writes
+its active tiles into the ping-pong target and inactive regions need no copy.
+
+  FE :  A -> B                                  next state (B, A, C)
+  RK2:  A -> B;  (B, aux A) -> C                next state (C, A, B)
+  RK3:  A -> B;  (B, aux A) -> C; (C, aux A) -> B   next state (B, A, C)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.narrowband import NarrowBandField, band_mask_from_values, l1_dilate
+from ..ops import band_pallas as bp
+from .explicit import RK2, RK3, ForwardEuler, TimeIntegrator
+from .fused import _term_spec
+
+__all__ = ["BandState", "FusedBandStepper", "supports_band_fused"]
+
+
+class BandState(NamedTuple):
+    """Jittable band-evolution state (a pytree)."""
+
+    bufs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (current, spare, spare)
+    mask: jnp.ndarray        # active band (node bool)
+    cmask: jnp.ndarray       # compute band = mask (+) stencil halo
+    ids: jnp.ndarray         # active-tile dispatch list (capacity,)
+    count: jnp.ndarray       # live tiles (<= capacity or the list overflowed)
+
+
+def supports_band_fused(terms, nb) -> bool:
+    if not isinstance(terms, (tuple, list)):
+        terms = (terms,)
+    return (
+        isinstance(nb, NarrowBandField)
+        and len(nb.shape) == 3
+        and nb.shape[2] % 128 == 0
+        and nb.bcs is not None
+        and all(_term_spec(t, nb) is not None for t in terms)
+    )
+
+
+def _default_tiles(shape) -> Tuple[int, int, int]:
+    n0, n1, n2 = shape
+    B0 = next((b for b in (8, 4, 2, 1) if n0 % b == 0))
+    B1 = next((b for b in (32, 16, 8) if n1 % b == 0), None)
+    B2 = next((b for b in (256, 128) if n2 % b == 0), None)
+    if B1 is None or B2 is None:
+        raise ValueError(f"no band tile size fits shape {shape}")
+    return (B0, B1, B2)
+
+
+class FusedBandStepper:
+    """Active-tile fused stepping for a 3D :class:`NarrowBandField`.
+
+    Usage::
+
+        stepper = FusedBandStepper(terms, nb, integrator)
+        state = stepper.pack(nb)
+        for _ in range(nsteps):
+            state = stepper.step(state, t, dt)   # jitted
+            t += dt
+        nb_out = stepper.unpack(state)
+
+    ``capacity`` bounds the dispatch list (a static compile-time size).
+    ``state.count > capacity`` means the band outgrew the list and results
+    are incomplete — check :meth:`overflowed` periodically on long runs.
+    """
+
+    def __init__(self, terms, nb: NarrowBandField, integrator: TimeIntegrator,
+                 tiles: Optional[Tuple[int, int, int]] = None,
+                 capacity: Optional[int] = None, slack: float = 1.5,
+                 interpret: bool = False):
+        if not isinstance(terms, (tuple, list)):
+            terms = (terms,)
+        if not supports_band_fused(terms, nb):
+            raise ValueError("configuration not supported by the band stepper")
+        self.shape = tuple(nb.shape)
+        self.bcs = nb.bcs
+        self.nlayers = nb.nlayers
+        self.spacing = tuple(float(h) for h in nb.grid.spacing)
+        self.lo = tuple(float(x) for x in nb.grid.lo)
+        self.tiles = tiles or _default_tiles(self.shape)
+        self.interpret = interpret
+        self.specs = tuple(_term_spec(t, nb) for t in terms)
+        if capacity is None:
+            n_active = int(bp.tile_activity(nb.compute_mask, self.tiles).sum())
+            total = 1
+            for n, b in zip(self.shape, self.tiles):
+                total *= n // b
+            capacity = min(total, max(64, int(n_active * slack) + 32))
+        self.capacity = int(capacity)
+        if isinstance(integrator, RK3):
+            self._table = "rk3"
+        elif isinstance(integrator, RK2):
+            self._table = "rk2"
+        elif isinstance(integrator, ForwardEuler):
+            self._table = "fe"
+        else:
+            raise ValueError(f"unsupported integrator {integrator!r}")
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    # -- layout -----------------------------------------------------------------
+
+    def pack(self, nb: NarrowBandField) -> BandState:
+        Q = bp.pack_band_padded(nb.values, self.bcs)
+        ids, count = bp.active_tile_ids(nb.compute_mask, self.tiles, self.capacity)
+        # fresh copies: step() donates the state, and aliasing the caller's
+        # mask arrays would delete them out from under the NarrowBandField
+        mask = jnp.logical_or(nb.mask, False)
+        cmask = jnp.logical_or(nb.compute_mask, False)
+        return BandState((Q, Q + 0.0, Q + 0.0), mask, cmask, ids, count)
+
+    def unpack(self, state: BandState) -> NarrowBandField:
+        values = bp.unpack_band_padded(state.bufs[0], self.shape)
+        return NarrowBandField(
+            values, self._grid_of(), self.bcs, state.mask, self.nlayers,
+            _normalized=True, _cmask=state.cmask,
+        )
+
+    def _grid_of(self):
+        from ..core.grid import Grid
+
+        hi = tuple(
+            l + (n - 1) * h for l, n, h in zip(self.lo, self.shape, self.spacing)
+        )
+        return Grid(self.lo, hi, self.shape)
+
+    def overflowed(self, state: BandState) -> bool:
+        return int(state.count) > self.capacity
+
+    # -- stepping ---------------------------------------------------------------
+
+    def _stage(self, src, dst, ids, cmask, coeffs, t_stage, aux):
+        out = bp.band_stage(
+            src, dst, ids, cmask, self.specs, coeffs, t_stage, aux,
+            self.bcs, self.spacing, self.shape, self.lo, self.tiles,
+            interpret=self.interpret,
+        )
+        return bp.refresh_band_ghosts(out, self.bcs, self.shape)
+
+    def _step_impl(self, state: BandState, t, dt):
+        A, B, C = state.bufs
+        ids, cmask = state.ids, state.cmask
+        t = jnp.asarray(t, A.dtype)
+        dt = jnp.asarray(dt, A.dtype)
+        if self._table == "fe":
+            B = self._stage(A, B, ids, cmask, (0.0, 1.0, dt), t, None)
+            cur, s1, s2 = B, A, C
+        elif self._table == "rk2":
+            B = self._stage(A, B, ids, cmask, (0.0, 1.0, dt), t, None)
+            C = self._stage(B, C, ids, cmask, (0.5, 0.5, 0.5 * dt), t + dt, A)
+            cur, s1, s2 = C, A, B
+        else:
+            B = self._stage(A, B, ids, cmask, (0.0, 1.0, dt), t, None)
+            C = self._stage(B, C, ids, cmask, (0.75, 0.25, 0.25 * dt), t + dt, A)
+            third = 1.0 / 3.0
+            B = self._stage(
+                C, B, ids, cmask, (third, 2.0 * third, 2.0 * third * dt),
+                t + 0.5 * dt, A,
+            )
+            cur, s1, s2 = B, A, C
+
+        # re-tube (update_band! semantics) + rebuild the dispatch list
+        values = bp.unpack_band_padded(cur, self.shape)
+        mask = band_mask_from_values(values, self.nlayers, state.mask)
+        cmask = l1_dilate(mask, NarrowBandField.COMPUTE_HALO)
+        ids, count = bp.active_tile_ids(cmask, self.tiles, self.capacity)
+        return BandState((cur, s1, s2), mask, cmask, ids, count)
+
+    def step(self, state: BandState, t, dt) -> BandState:
+        """One accepted step (jitted; donates ``state``)."""
+        return self._step(state, t, dt)

@@ -1,0 +1,455 @@
+"""Active-tile narrow-band stage kernel: step cost proportional to the band.
+
+The dense narrow band (:mod:`lsm_tpu.core.narrowband`) reproduces the
+reference's band *semantics* but computes every stage on the full grid. This
+module makes the stage cost proportional to the interface: the compute mask is
+reduced to per-tile activity bits, the active tile coordinates are gathered
+into a capacity-bounded dispatch list (``jnp.nonzero(size=...)``), and ONE
+Pallas kernel runs only those tiles — fetching each tile's halo slab from a
+persistently padded buffer, evaluating the fused multi-term stage
+(:func:`lsm_tpu.ops.weno_v2._ham_contribution`, the same stencil helpers as
+the jnp path), and scattering the result back. Reference semantics:
+``update_band!``-maintained active set with per-active-node updates
+(``/root/reference/src/meshfield.jl:553-588``, ``timestepping.jl:128-137``).
+
+Layout (all DMA offsets provably aligned for Mosaic):
+
+- padded buffer ``Q``: ``(n0 + 2*G, n1 + 2*G1, L + n2 + L)`` with ``G=3``
+  ghost layers on dim 0 (offset 3), sublane pad ``G1=8`` (interior offset 8,
+  ghosts at 5..7), lane pad ``L=128`` (interior offset 128, ghosts at
+  125..127). Off-band cells of ``Q`` are FROZEN (the interface only moves
+  inside the band), so a stage writes active tiles into the *previous* padded
+  buffer (ping-pong): every untouched cell there already holds the correct
+  frozen value — no full-grid copy, no full-grid pad.
+- tile ``(i,j,k)`` fetch: offsets ``(i*B0, j*B1, k*B2)`` (lane/sublane
+  aligned), sizes ``(B0+6, B1+16, B2+256)``; interior sits at slab offsets
+  ``(3, 8, 128)`` and the halo (reach 3) is inside the fetch by construction.
+- tile write-back: ``(B0, B1, B2)`` at ``(3+i*B0, 8+j*B1, 128+k*B2)`` —
+  sublane/lane offsets are multiples of 8/128 because ``B1 % 8 == 0`` and
+  ``B2 % 128 == 0``.
+
+The dispatch list is scalar-prefetched (``PrefetchScalarGridSpec``) so each
+program can compute its DMA offsets; sentinel entries (``-1`` past the active
+count) skip all DMAs and writes. Streamed per-tile inputs (velocity fields,
+the compute-mask tile used to freeze non-band cells, the RK ``aux`` tile) ride
+the same dynamic-offset DMAs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import bc as _bc
+from . import stencils as st
+from .weno_v2 import TermSpec, _ham_contribution, _fast_recip
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+__all__ = [
+    "band_padded_shape",
+    "pack_band_padded",
+    "unpack_band_padded",
+    "refresh_band_ghosts",
+    "tile_activity",
+    "active_tile_ids",
+    "band_stage",
+    "band_stage_reference",
+]
+
+_G = st.PAD_WENO5  # 3
+_G1 = 8
+_L = 128
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def band_padded_shape(shape) -> Tuple[int, int, int]:
+    n0, n1, n2 = shape
+    return (n0 + 2 * _G, n1 + 2 * _G1, n2 + 2 * _L)
+
+
+def pack_band_padded(values: jnp.ndarray, bcs) -> jnp.ndarray:
+    """Interior values -> band-padded layout (ghosts on all three dims at
+    offsets (3, 8, 128); junk elsewhere zeroed)."""
+    p = _bc.pad_ghost(values, bcs, _G)  # uniform 3-pad, all dims
+    return jnp.pad(
+        p, [(0, 0), (_G1 - _G, _G1 - _G), (_L - _G, _L - _G)]
+    )
+
+
+def unpack_band_padded(padded: jnp.ndarray, shape) -> jnp.ndarray:
+    n0, n1, n2 = shape
+    return padded[_G:_G + n0, _G1:_G1 + n1, _L:_L + n2]
+
+
+def refresh_band_ghosts(padded: jnp.ndarray, bcs, shape) -> jnp.ndarray:
+    """Recompute the ghost shells (dims 0 -> 1 -> 2, the pad_ghost composition
+    order) from the current interior. O(N^2) work."""
+    n0, n1, n2 = shape
+    interior = unpack_band_padded(padded, shape)
+    # dim 0 from interior
+    l0 = _bc._ghost_block(interior, bcs[0][0], 0, _G, "left")
+    r0 = _bc._ghost_block(interior, bcs[0][1], 0, _G, "right")
+    padded = padded.at[:_G, _G1:_G1 + n1, _L:_L + n2].set(l0)
+    padded = padded.at[_G + n0:, _G1:_G1 + n1, _L:_L + n2].set(r0)
+    # dim 1 from rows incl. fresh dim-0 ghosts
+    col = padded[:, _G1:_G1 + n1, _L:_L + n2]
+    l1 = _bc._ghost_block(col, bcs[1][0], 1, _G, "left")
+    r1 = _bc._ghost_block(col, bcs[1][1], 1, _G, "right")
+    padded = padded.at[:, _G1 - _G:_G1, _L:_L + n2].set(l1)
+    padded = padded.at[:, _G1 + n1:_G1 + n1 + _G, _L:_L + n2].set(r1)
+    # dim 2 from the slab incl. fresh dim-0/1 ghosts
+    slab = padded[:, _G1 - _G:_G1 + n1 + _G, _L:_L + n2]
+    l2 = _bc._ghost_block(slab, bcs[2][0], 2, _G, "left")
+    r2 = _bc._ghost_block(slab, bcs[2][1], 2, _G, "right")
+    padded = padded.at[:, _G1 - _G:_G1 + n1 + _G, _L - _G:_L].set(l2)
+    padded = padded.at[:, _G1 - _G:_G1 + n1 + _G, _L + n2:_L + n2 + _G].set(r2)
+    return padded
+
+
+# -- active-tile dispatch -----------------------------------------------------------
+
+
+def tile_activity(compute_mask: jnp.ndarray, tiles) -> jnp.ndarray:
+    """(G0, G1, G2) bool: does this tile contain any compute-band cell?"""
+    B0, B1, B2 = tiles
+    n0, n1, n2 = compute_mask.shape
+    m = compute_mask.reshape(n0 // B0, B0, n1 // B1, B1, n2 // B2, B2)
+    return jnp.any(m, axis=(1, 3, 5))
+
+
+def active_tile_ids(compute_mask: jnp.ndarray, tiles, capacity: int):
+    """Capacity-bounded flat ids of active tiles (sentinel -1 past the count).
+
+    Returns ``(ids[capacity] int32, count int32)``. ``count > capacity`` means
+    the dispatch list overflowed (caller must re-build with a larger capacity —
+    results would silently miss tiles otherwise).
+    """
+    act = tile_activity(compute_mask, tiles).ravel()
+    count = jnp.sum(act, dtype=jnp.int32)
+    (ids,) = jnp.nonzero(act, size=capacity, fill_value=-1)
+    return ids.astype(jnp.int32), count
+
+
+# -- kernel -------------------------------------------------------------------------
+
+
+def _make_band_kernel(B0, B1, B2, grid_dims, shape, spacing, term_specs,
+                      with_aux, lo, dx_min, dtype, capacity, n_streams,
+                      interpret):
+    G0, G1, G2 = grid_dims
+    S0, S1, S2 = B0 + 2 * _G, B1 + 2 * _G1, B2 + 2 * _L
+    recip = None if interpret else _fast_recip
+
+    def kernel(ids_ref, coef_ref, q_hbm, cmask_hbm, *rest):
+        streams = rest[:n_streams]
+        rest = rest[n_streams:]
+        if with_aux:
+            a_hbm = rest[0]
+            rest = rest[1:]
+        # rest[0] is out_init (aliased to the output; present as an input ref
+        # but never read in-kernel), rest[1] the output
+        out_hbm = rest[1]
+        (slab, mbuf, obuf, abuf, isem, msem, asem, osem) = rest[2:10]
+        if n_streams:
+            sbuf, ssem = rest[10], rest[11]
+
+        p = pl.program_id(0)
+        tid = ids_ref[p]
+        live = tid >= 0
+
+        def decode(t):
+            k = jax.lax.rem(t, jnp.asarray(G2, t.dtype))
+            j = jax.lax.rem(t // jnp.asarray(G2, t.dtype), jnp.asarray(G1, t.dtype))
+            i = t // jnp.asarray(G1 * G2, t.dtype)
+            return i, j, k
+
+        i, j, k = decode(tid)
+
+        def dma_in(slot, i2, j2, k2):
+            return pltpu.make_async_copy(
+                q_hbm.at[pl.ds(i2 * B0, S0), pl.ds(j2 * B1, S1),
+                         pl.ds(k2 * B2, S2)],
+                slab.at[slot], isem.at[slot])
+
+        def dma_mask(slot, i2, j2, k2):
+            return pltpu.make_async_copy(
+                cmask_hbm.at[pl.ds(i2 * B0, B0), pl.ds(j2 * B1, B1),
+                             pl.ds(k2 * B2, B2)],
+                mbuf.at[slot], msem.at[slot])
+
+        def dma_aux(slot, i2, j2, k2):
+            return pltpu.make_async_copy(
+                a_hbm.at[pl.ds(_G + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
+                         pl.ds(_L + k2 * B2, B2)],
+                abuf.at[slot], asem.at[slot])
+
+        def dma_stream(slot, q, i2, j2, k2):
+            return pltpu.make_async_copy(
+                streams[q].at[pl.ds(i2 * B0, B0), pl.ds(j2 * B1, B1),
+                              pl.ds(k2 * B2, B2)],
+                sbuf.at[slot, q], ssem.at[slot, q])
+
+        def dma_out(slot, i2, j2, k2):
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                out_hbm.at[pl.ds(_G + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
+                           pl.ds(_L + k2 * B2, B2)],
+                osem.at[slot])
+
+        slot = jax.lax.rem(p, jnp.asarray(2, p.dtype))
+
+        def start_in(slot2, t):
+            i2, j2, k2 = decode(t)
+            dma_in(slot2, i2, j2, k2).start()
+            dma_mask(slot2, i2, j2, k2).start()
+            if with_aux:
+                dma_aux(slot2, i2, j2, k2).start()
+            for q in range(n_streams):
+                dma_stream(slot2, q, i2, j2, k2).start()
+
+        # cross-program double-buffered prefetch over the DISPATCH LIST
+        @pl.when(jnp.logical_and(p == 0, live))
+        def _():
+            start_in(0, tid)
+
+        @pl.when(p + 1 < capacity)
+        def _():
+            nxt = ids_ref[p + 1]
+
+            @pl.when(nxt >= 0)
+            def _():
+                start_in(1 - slot, nxt)
+
+        # the next live id (or -1): sentinels trail the list, so this also
+        # tells us whether WE are the last live program (and must drain)
+        nxt_id = jnp.where(
+            p + 1 < capacity,
+            ids_ref[jnp.minimum(p + 1, jnp.asarray(capacity - 1, p.dtype))],
+            jnp.asarray(-1, ids_ref.dtype),
+        )
+
+        @pl.when(live)
+        def _():
+            dma_in(slot, i, j, k).wait()
+            dma_mask(slot, i, j, k).wait()
+
+            ext = slab[slot]
+            tile_shape = (B0, B1, B2)
+            gview = (_G, _G1, _L)
+            center = st.shift(ext, (0, 0, 0), gview, tile_shape)
+
+            coords = None
+            t = coef_ref[3]
+            ham = jnp.zeros(tile_shape, dtype=dtype)
+            si = 0
+            for spec in term_specs:
+                if spec.coef_kind == "analytic":
+                    if coords is None:
+                        i0 = jax.lax.broadcasted_iota(jnp.int32, (B0, 1, 1), 0)
+                        i1 = jax.lax.broadcasted_iota(jnp.int32, (1, B1, 1), 1)
+                        i2c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, B2), 2)
+                        coords = (
+                            lo[0] + (i * B0 + i0).astype(dtype) * spacing[0],
+                            lo[1] + (j * B1 + i1).astype(dtype) * spacing[1],
+                            lo[2] + (k * B2 + i2c).astype(dtype) * spacing[2],
+                        )
+                    ncomp = 3 if spec.kind == "advection" else 1
+                    cval = spec.coef_static(coords, t)
+                    coef = tuple(cval) if isinstance(cval, (tuple, list)) else (cval,)
+                    if ncomp == 1 and len(coef) != 1:
+                        coef = (cval,)
+                elif spec.coef_kind == "stream":
+                    for q in range(spec.n_streams):
+                        dma_stream(slot, si + q, i, j, k).wait()
+                    coef = tuple(sbuf[slot, si + q] for q in range(spec.n_streams))
+                    si += spec.n_streams
+                elif spec.coef_kind == "const":
+                    coef = (jnp.asarray(spec.coef_static, dtype),)
+                else:
+                    coef = ()
+                ham = ham + _ham_contribution(
+                    spec, ext, tile_shape, spacing, coef, center, dx_min,
+                    dtype, g=gview, recip=recip,
+                )
+
+            beta = coef_ref[1]
+            gamma = coef_ref[2]
+            out = beta * center - gamma * ham
+            if with_aux:
+                dma_aux(slot, i, j, k).wait()
+                out = coef_ref[0] * abuf[slot] + out
+            # freeze non-compute-band cells inside active tiles: they must
+            # keep the previous value (band semantics, meshfield.jl:481-511 /
+            # narrowband.with_values)
+            out = jnp.where(mbuf[slot], out, center)
+
+            # deferred-wait output pipelining (see weno_v2): program p reuses
+            # obuf slot p%2 -> wait the DMA issued two LIVE programs ago.
+            # Sentinel programs never write, so waiting 2 programs back (live
+            # or not) over-synchronizes harmlessly.
+            @pl.when(p >= 2)
+            def _():
+                pm2 = ids_ref[p - 2]
+
+                @pl.when(pm2 >= 0)
+                def _():
+                    im, jm, km = decode(pm2)
+                    dma_out(slot, im, jm, km).wait()
+
+            obuf[slot] = out
+            dma_out(slot, i, j, k).start()
+
+            # last LIVE program drains both in-flight output DMAs (trailing
+            # sentinel programs skip everything, so nobody else would)
+            @pl.when(nxt_id < 0)
+            def _():
+                dma_out(slot, i, j, k).wait()
+
+                @pl.when(p >= 1)
+                def _():
+                    prv = ids_ref[p - 1]
+
+                    @pl.when(prv >= 0)
+                    def _():
+                        im, jm, km = decode(prv)
+                        dma_out(1 - slot, im, jm, km).wait()
+
+    return kernel
+
+
+def band_stage(
+    padded: jnp.ndarray,
+    out_init: jnp.ndarray,
+    ids: jnp.ndarray,
+    compute_mask: jnp.ndarray,
+    term_specs_and_streams,
+    coeffs,
+    t,
+    aux_padded: Optional[jnp.ndarray],
+    bcs,
+    spacing,
+    shape,
+    lo,
+    tiles: Tuple[int, int, int],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused RK stage on the active tiles only.
+
+    ``out_init`` is the ping-pong target buffer (donated/aliased): inactive
+    regions keep its values — correct because off-band cells are frozen.
+    Ghost shells are NOT refreshed here (compose with
+    :func:`refresh_band_ghosts`). ``ids`` from :func:`active_tile_ids`.
+    """
+    n0, n1, n2 = shape
+    B0, B1, B2 = tiles
+    if n0 % B0 or n1 % B1 or n2 % B2 or B1 % 8 or B2 % 128:
+        raise ValueError(f"band tiles {tiles} do not divide/align {shape}")
+    dtype = padded.dtype
+    grid_dims = (n0 // B0, n1 // B1, n2 // B2)
+    capacity = int(ids.shape[0])
+    with_aux = aux_padded is not None
+    term_specs = tuple(s for s, _ in term_specs_and_streams)
+    all_streams = [a for _, arrs in term_specs_and_streams for a in arrs]
+    n_streams = len(all_streams)
+
+    coef = jnp.stack([jnp.asarray(c, dtype) for c in (*coeffs, t)])
+    S0, S1, S2 = B0 + 2 * _G, B1 + 2 * _G1, B2 + 2 * _L
+
+    kernel = _make_band_kernel(
+        B0, B1, B2, grid_dims, shape, tuple(float(h) for h in spacing),
+        term_specs, with_aux, tuple(float(x) for x in lo),
+        float(min(spacing)), dtype, capacity, n_streams, interpret,
+    )
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem, anyspec, anyspec]
+    args = [coef, padded, compute_mask]
+    for s in all_streams:
+        in_specs.append(anyspec)
+        args.append(s)
+    if with_aux:
+        in_specs.append(anyspec)
+        args.append(aux_padded)
+    in_specs.append(anyspec)  # out_init (aliased to the output)
+    args.append(out_init)
+
+    scratch = [
+        pltpu.VMEM((2, S0, S1, S2), dtype),            # phi slabs
+        pltpu.VMEM((2, B0, B1, B2), jnp.bool_),        # compute-mask tiles
+        pltpu.VMEM((2, B0, B1, B2), dtype),            # out tiles
+        pltpu.VMEM((2, B0, B1, B2), dtype),            # aux tiles
+        pltpu.SemaphoreType.DMA((2,)),                 # in
+        pltpu.SemaphoreType.DMA((2,)),                 # mask
+        pltpu.SemaphoreType.DMA((2,)),                 # aux
+        pltpu.SemaphoreType.DMA((2,)),                 # out
+    ]
+    if n_streams:
+        scratch.append(pltpu.VMEM((2, n_streams, B0, B1, B2), dtype))
+        scratch.append(pltpu.SemaphoreType.DMA((2, n_streams)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(capacity,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(band_padded_shape(shape), dtype),
+        # alias indices count the scalar-prefetch arg (ids at 0), so out_init
+        # sits at len(args): [ids, coef, padded, cmask, streams..., aux?, out_init]
+        input_output_aliases={len(args): 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(ids, *args)
+
+
+# -- jnp reference (oracle) ---------------------------------------------------------
+
+
+def band_stage_reference(
+    padded, out_init, ids, compute_mask, term_specs_and_streams, coeffs, t,
+    aux_padded, bcs, spacing, shape, lo, tiles,
+):
+    """Pure-jnp oracle: dense fused stage masked to (compute band AND active
+    tiles); everything else keeps ``out_init``'s interior. Returns the padded
+    result with refreshed ghosts NOT applied (as :func:`band_stage`)."""
+    from .weno_v2 import stage_reference, pack_padded
+
+    n0, n1, n2 = shape
+    interior_prev = unpack_band_padded(padded, shape)
+    # dense stage on the v2 layout (same helpers)
+    P2 = pack_padded(interior_prev, bcs)
+    A2 = (
+        pack_padded(unpack_band_padded(aux_padded, shape), bcs)
+        if aux_padded is not None else None
+    )
+    dense = stage_reference(
+        P2, term_specs_and_streams, coeffs, t, A2, bcs, spacing, shape, lo
+    )
+    B0, B1, B2 = tiles
+    act = tile_activity(compute_mask, tiles)
+    act_cells = jnp.repeat(jnp.repeat(jnp.repeat(
+        act, B0, axis=0), B1, axis=1), B2, axis=2)
+    write = act_cells & compute_mask
+    keep_prev = act_cells & ~compute_mask
+    out_interior = unpack_band_padded(out_init, shape)
+    new_interior = jnp.where(
+        write, dense, jnp.where(keep_prev, interior_prev, out_interior)
+    )
+    return out_init.at[_G:_G + n0, _G1:_G1 + n1, _L:_L + n2].set(new_interior)

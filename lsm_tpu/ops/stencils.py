@@ -167,7 +167,7 @@ def _weno_eps(vmax, dtype):
     return 1.0e-6 * vmax + floor
 
 
-def _weno_combine(s1, s2, s3, eps, d1, d2, d3):
+def _weno_combine(s1, s2, s3, eps, d1, d2, d3, recip=None):
     """Weighted combination with ONE division (plus one shared reciprocal).
 
     Classic form needs four divisions (three ``a_i = g_i/(s_i+eps)^2`` plus the
@@ -177,15 +177,21 @@ def _weno_combine(s1, s2, s3, eps, d1, d2, d3):
     The ``1/eps`` normalization keeps every intermediate in fp32 range:
     ``1 <= b_i <= ~26/1e-6`` so ``(b_j b_k)^2 <= ~5e29 < fp32 max``, and a flat
     stencil gives ``b_i = 1`` -> exact 0.1/0.6/0.3 weights (never 0/0).
+
+    ``recip`` optionally replaces the two reciprocals (the fused TPU kernels
+    pass a Newton-refined ``pl.reciprocal`` whose ~2^-26 relative error is
+    below f32 division rounding — VPU divisions are many-cycle).
     """
-    r = 1.0 / eps
+    r = (1.0 / eps) if recip is None else recip(eps)
     b1 = s1 * r + 1.0
     b2 = s2 * r + 1.0
     b3 = s3 * r + 1.0
     q1 = 0.1 * (b2 * b3) ** 2
     q2 = 0.6 * (b1 * b3) ** 2
     q3 = 0.3 * (b1 * b2) ** 2
-    return (q1 * d1 + q2 * d2 + q3 * d3) / (q1 + q2 + q3)
+    qsum = q1 + q2 + q3
+    w = (1.0 / qsum) if recip is None else recip(qsum)
+    return (q1 * d1 + q2 * d2 + q3 * d3) * w
 
 
 def weno5_pair(dm):
@@ -230,7 +236,7 @@ def weno5_pair(dm):
     return minus, plus
 
 
-def weno5_upwind(dm, u):
+def weno5_upwind(dm, u, recip=None):
     """Upwinded WENO5 advection contribution ``u * (u>0 ? weno5- : weno5+)``
     along one axis, from the six shared backward differences ``dm`` (see
     :func:`weno5_pair_diffs`) and that axis's velocity component ``u``.
@@ -243,6 +249,12 @@ def weno5_upwind(dm, u):
     candidates (~2x less VPU arithmetic; WENO5 on TPU is compute-bound).
     Identical result: at ``u == 0`` both forms pick the plus branch and
     multiply by zero.
+
+    Arithmetic layout: the Jiang-Shu indicators and the 3rd-order candidates
+    are expressed through the shared first/second difference tables
+    ``e_k = v_{k+1}-v_k`` / ``c_k = e_{k+1}-e_k`` (algebraically identical to
+    the textbook form, ~25% fewer VPU ops). ``recip`` as in
+    :func:`_weno_combine`.
     """
     cond = u > 0
     v1 = jnp.where(cond, dm[0], dm[5])
@@ -250,19 +262,29 @@ def weno5_upwind(dm, u):
     v3 = jnp.where(cond, dm[2], dm[3])
     v4 = jnp.where(cond, dm[3], dm[2])
     v5 = jnp.where(cond, dm[4], dm[1])
-    d1 = (1.0 / 3.0) * v1 - (7.0 / 6.0) * v2 + (11.0 / 6.0) * v3
-    d2 = -(1.0 / 6.0) * v2 + (5.0 / 6.0) * v3 + (1.0 / 3.0) * v4
-    d3 = (1.0 / 3.0) * v3 + (5.0 / 6.0) * v4 - (1.0 / 6.0) * v5
+    e2 = v3 - v2
+    e3 = v4 - v3
+    c1 = e2 - (v2 - v1)
+    c2 = e3 - e2
+    c3 = (v5 - v4) - e3
+    # candidates anchored at v3: d1 = v3 + e2/2 + c1/3, etc. (same 1/3,-7/6,
+    # 11/6... coefficients after expansion)
+    d1 = v3 + 0.5 * e2 + (1.0 / 3.0) * c1
+    d2 = v3 + 0.5 * e3 - (1.0 / 6.0) * c2
+    d3 = v3 + 0.5 * e3 - (1.0 / 6.0) * c3
     c13 = 13.0 / 12.0
-    s1 = c13 * (v1 - 2.0 * v2 + v3) ** 2 + 0.25 * (v1 - 4.0 * v2 + 3.0 * v3) ** 2
-    s2 = c13 * (v2 - 2.0 * v3 + v4) ** 2 + 0.25 * (v2 - v4) ** 2
-    s3 = c13 * (v3 - 2.0 * v4 + v5) ** 2 + 0.25 * (3.0 * v3 - 4.0 * v4 + v5) ** 2
+    t1 = c1 + 2.0 * e2  # = v1 - 4 v2 + 3 v3
+    t2 = e2 + e3        # = v4 - v2 (squared below, sign irrelevant)
+    t3 = c3 - 2.0 * e3  # = 3 v3 - 4 v4 + v5
+    s1 = c13 * (c1 * c1) + 0.25 * (t1 * t1)
+    s2 = c13 * (c2 * c2) + 0.25 * (t2 * t2)
+    s3 = c13 * (c3 * c3) + 0.25 * (t3 * t3)
     vmax = jnp.maximum(
         jnp.maximum(jnp.maximum(v1 * v1, v2 * v2), jnp.maximum(v3 * v3, v4 * v4)),
         v5 * v5,
     )
     eps = _weno_eps(vmax, jnp.result_type(v1))
-    return u * _weno_combine(s1, s2, s3, eps, d1, d2, d3)
+    return u * _weno_combine(s1, s2, s3, eps, d1, d2, d3, recip)
 
 
 def weno5_pair_diffs(p, axis, h, g, shape):
