@@ -84,32 +84,56 @@ class InterpolatedField:
     convex-hull property.
     """
 
-    def __init__(self, field: MeshField, order: int = 3, _coeffs=None):
+    #: above this many coefficient floats, switch to the lazy per-batch path
+    LAZY_THRESHOLD = 1 << 26
+
+    def __init__(self, field: MeshField, order: int = 3,
+                 lazy: Optional[bool] = None, _state=None):
+        if _state is not None:
+            (self.field, self.order, self.coeffs, self._padded,
+             self._mat, self._pad, self._off) = _state
+            return
         if not field.has_bcs():
             field = field.with_bcs(Extrapolation(order))
         self.field = field
         self.order = int(order)
-        if _coeffs is None:
-            mat = jnp.asarray(interpolation_matrix(self.order), dtype=field.dtype)
-            nv = mat.shape[1]
-            pad = (nv - 2 + 1) // 2
-            off = -((nv - 2) // 2)
-            padded = field.pad(pad)
-            _coeffs = _all_cell_coeffs(
+        mat = jnp.asarray(interpolation_matrix(self.order), dtype=field.dtype)
+        nv = mat.shape[1]
+        pad = (nv - 2 + 1) // 2
+        off = -((nv - 2) // 2)
+        self._mat, self._pad, self._off = mat, pad, off
+        ncoef = math.prod(field.grid.cells_shape) * (self.order + 1) ** field.ndim
+        if lazy is None:
+            lazy = ncoef > self.LAZY_THRESHOLD
+        padded = field.pad(pad)
+        if lazy:
+            # the reference is lazy-per-cell with a memo (interpolation.jl:87-112);
+            # here "lazy" = batched on-demand coefficients from the padded nodal
+            # array — O(grid) memory instead of O(grid * (order+1)^N)
+            self.coeffs = None
+            self._padded = padded
+        else:
+            self.coeffs = _all_cell_coeffs(
                 padded, mat, field.grid.cells_shape, pad, off
             )
-        self.coeffs = _coeffs
+            self._padded = None
+
+    @property
+    def is_lazy(self) -> bool:
+        return self.coeffs is None
 
     # -- pytree --------------------------------------------------------------------
 
     def tree_flatten(self):
-        return (self.field, self.coeffs), (self.order,)
+        return (self.field, self.coeffs, self._padded, self._mat), (
+            self.order, self._pad, self._off,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.field, obj.coeffs = children
-        obj.order = aux[0]
+        obj.field, obj.coeffs, obj._padded, obj._mat = children
+        obj.order, obj._pad, obj._off = aux
         return obj
 
     # -- geometry helpers ----------------------------------------------------------
@@ -134,10 +158,37 @@ class InterpolatedField:
         ndim = self.ndim
         cells_shape = self.grid.cells_shape
         nc = self.order + 1
+        if self.is_lazy:
+            return self._coeffs_on_demand(cell_idx)
         flat = self.coeffs.reshape((-1,) + (nc,) * ndim)
         strides = np.cumprod((cells_shape[1:] + (1,))[::-1])[::-1].copy()
         lin = jnp.sum(cell_idx * jnp.asarray(strides, dtype=cell_idx.dtype), axis=-1)
         return flat[lin]
+
+    def _coeffs_on_demand(self, cell_idx: jnp.ndarray):
+        """Lazy path: gather each cell's ``(nv,)*N`` nodal stencil from the
+        padded array and contract with the shared 1-D matrix per dimension
+        (batched Kronecker application, same math as :func:`_all_cell_coeffs`)."""
+        ndim = self.ndim
+        mat = self._mat
+        nc, nv = mat.shape
+        base = cell_idx + (self._pad + self._off)  # stencil start in padded coords
+        ar = jnp.arange(nv)
+        # advanced-indexing gather of (..., nv, ..., nv) neighborhoods
+        idxs = []
+        for d in range(ndim):
+            ix = base[..., d]
+            ix = ix.reshape(ix.shape + (1,) * ndim)
+            shape_d = [1] * ndim
+            shape_d[d] = nv
+            idxs.append(ix + ar.reshape(shape_d))
+        A = self._padded[tuple(idxs)]  # (..., nv, nv[, nv])
+        for _ in range(ndim):
+            # consume the first trailing stencil axis, append its coeff axis at
+            # the end; after ndim rounds the trailing axes are (nc,)*ndim in
+            # dimension order (matches the eager layout)
+            A = jnp.tensordot(A, mat, axes=[[A.ndim - ndim], [1]])
+        return A
 
     # -- evaluation ----------------------------------------------------------------
 
@@ -185,12 +236,35 @@ class InterpolatedField:
         cell = self.grid.locate_cell(jnp.asarray(x, dtype=self.field.dtype))
         return self.make_interpolant(cell)
 
-    def cell_extrema(self, cell_index: Optional[Sequence[int]] = None):
-        """Convex-hull (min, max) bounds — one cell, or every cell at once."""
+    def cell_extrema(self, cell_index: Optional[Sequence[int]] = None,
+                     chunk: int = 1 << 17):
+        """Convex-hull (min, max) bounds — one cell, or every cell at once
+        (lazy fields compute all-cell bounds in ``chunk``-cell batches)."""
         ndim = self.ndim
         axes = tuple(range(-ndim, 0))
         if cell_index is None:
-            return jnp.min(self.coeffs, axis=axes), jnp.max(self.coeffs, axis=axes)
+            if not self.is_lazy:
+                return jnp.min(self.coeffs, axis=axes), jnp.max(self.coeffs, axis=axes)
+            cells_shape = self.grid.cells_shape
+            ncells = math.prod(cells_shape)
+            strides = np.cumprod((cells_shape[1:] + (1,))[::-1])[::-1].copy()
+            nchunks = -(-ncells // chunk)
+            pad_n = nchunks * chunk
+
+            def one(start):
+                lin = start + jnp.arange(chunk)
+                lin = jnp.minimum(lin, ncells - 1)  # clamp the ragged tail
+                multi = jnp.stack(
+                    [(lin // int(s)) % int(c) for s, c in zip(strides, cells_shape)],
+                    axis=-1,
+                )
+                blocks = self._gather_coeffs(multi)
+                return jnp.min(blocks, axis=axes), jnp.max(blocks, axis=axes)
+
+            mins, maxs = jax.lax.map(one, jnp.arange(nchunks) * chunk)
+            mins = mins.reshape(pad_n)[:ncells].reshape(cells_shape)
+            maxs = maxs.reshape(pad_n)[:ncells].reshape(cells_shape)
+            return mins, maxs
         blocks = self._gather_coeffs(jnp.asarray(cell_index)[None])[0]
         return jnp.min(blocks), jnp.max(blocks)
 

@@ -208,3 +208,48 @@ def test_hausdorff_distance():
     s2 = NewtonSDF(sample(lambda X, Y: jnp.sqrt(X**2 + Y**2) - 0.4, grid))
     d = float(hausdorff_distance(s1, s2))
     assert np.isclose(d, 0.1, atol=2e-3)
+
+
+def test_lazy_matches_eager():
+    # lazy on-demand coefficients must equal the eager all-cell table
+    grid = Grid((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), (14, 12, 10))
+    phi = sample(
+        lambda X, Y, Z: jnp.sin(X) * jnp.cos(Y) + 0.3 * Z**2, grid, Extrapolation(3)
+    )
+    eager = InterpolatedField(phi, 3, lazy=False)
+    lazy = InterpolatedField(phi, 3, lazy=True)
+    assert lazy.is_lazy and not eager.is_lazy
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.uniform(-0.99, 0.99, size=(200, 3)))
+    np.testing.assert_allclose(
+        np.asarray(lazy(pts)), np.asarray(eager(pts)), atol=1e-13
+    )
+    ve, ge, He = eager.value_gradient_hessian(pts)
+    vl, gl, Hl = lazy.value_gradient_hessian(pts)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(ge), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Hl), np.asarray(He), atol=1e-10)
+    # all-cell extrema (chunked in the lazy path) agree
+    ml, Ml = lazy.cell_extrema(chunk=64)
+    me, Me = eager.cell_extrema()
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(me), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Ml), np.asarray(Me), atol=1e-13)
+
+
+def test_newton_sdf_lazy_and_chunked_queries():
+    # force the lazy interpolant + multi-chunk closest_point path
+    grid = Grid((-1.0, -1.0), (1.0, 1.0), (60, 60))
+    r = 0.5
+    phi = sample(lambda X, Y: jnp.sqrt(X**2 + Y**2) - r, grid)
+    old = InterpolatedField.LAZY_THRESHOLD
+    InterpolatedField.LAZY_THRESHOLD = 0  # force lazy
+    try:
+        sdf = NewtonSDF(phi, upsample=3)
+        assert sdf.cf.is_lazy
+        X, Y = [np.asarray(c) for c in grid.dense_coords()]
+        nodes = jnp.asarray(np.stack([X.ravel(), Y.ravel()], -1))
+        vals = np.asarray(sdf.closest_point(nodes, chunk=512)[0])
+        exact_cp = nodes / jnp.linalg.norm(nodes, axis=-1, keepdims=True) * r
+        err = np.abs(vals - np.asarray(exact_cp)).max()
+        assert err < 1e-4
+    finally:
+        InterpolatedField.LAZY_THRESHOLD = old
