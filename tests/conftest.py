@@ -9,18 +9,27 @@ These env settings must land before the first ``import jax``.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env ships JAX_PLATFORMS=axon (TPU tunnel)
-_flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# LSM_TPU_TESTS=1 keeps the real TPU backend (and f32) so the compiled-Pallas
+# parity tests in test_tpu_compiled.py can run on hardware:
+#     LSM_TPU_TESTS=1 python -m pytest tests/test_tpu_compiled.py -q
+# The rest of the suite is calibrated for the f64 CPU mesh and should not be
+# run in this mode.
+_TPU_MODE = os.environ.get("LSM_TPU_TESTS") == "1"
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env ships JAX_PLATFORMS=axon
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-# The axon (TPU-tunnel) plugin registers itself from sitecustomize and hard-sets
-# jax_platforms to "axon,cpu" — env vars alone cannot force CPU; override the
-# config after import.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _TPU_MODE:
+    # The axon (TPU-tunnel) plugin registers itself from sitecustomize and
+    # hard-sets jax_platforms to "axon,cpu" — env vars alone cannot force CPU;
+    # override the config after import.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

