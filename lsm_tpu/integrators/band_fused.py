@@ -38,7 +38,8 @@ class BandState(NamedTuple):
 
     bufs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (current, spare, spare)
     mask: jnp.ndarray        # active band (node bool)
-    cmask: jnp.ndarray       # compute band = mask (+) stencil halo
+    cmask: jnp.ndarray       # compute band = mask (+) stencil halo, in phi's
+    #                          dtype (0/1) — Mosaic rejects bool-dtype DMAs
     ids: jnp.ndarray         # active-tile dispatch list (capacity,)
     count: jnp.ndarray       # live tiles (<= capacity or the list overflowed)
 
@@ -123,14 +124,14 @@ class FusedBandStepper:
         # fresh copies: step() donates the state, and aliasing the caller's
         # mask arrays would delete them out from under the NarrowBandField
         mask = jnp.logical_or(nb.mask, False)
-        cmask = jnp.logical_or(nb.compute_mask, False)
+        cmask = nb.compute_mask.astype(Q.dtype)
         return BandState((Q, Q + 0.0, Q + 0.0), mask, cmask, ids, count)
 
     def unpack(self, state: BandState) -> NarrowBandField:
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
         return NarrowBandField(
             values, self._grid_of(), self.bcs, state.mask, self.nlayers,
-            _normalized=True, _cmask=state.cmask,
+            _normalized=True, _cmask=state.cmask != 0,
         )
 
     def _grid_of(self):
@@ -181,7 +182,7 @@ class FusedBandStepper:
         mask = band_mask_from_values(values, self.nlayers, state.mask)
         cmask = l1_dilate(mask, NarrowBandField.COMPUTE_HALO)
         ids, count = bp.active_tile_ids(cmask, self.tiles, self.capacity)
-        return BandState((cur, s1, s2), mask, cmask, ids, count)
+        return BandState((cur, s1, s2), mask, cmask.astype(A.dtype), ids, count)
 
     def step(self, state: BandState, t, dt) -> BandState:
         """One accepted step (jitted; donates ``state``)."""

@@ -289,8 +289,9 @@ def _make_band_kernel(B0, B1, B2, grid_dims, shape, spacing, term_specs,
                 out = coef_ref[0] * abuf[slot] + out
             # freeze non-compute-band cells inside active tiles: they must
             # keep the previous value (band semantics, meshfield.jl:481-511 /
-            # narrowband.with_values)
-            out = jnp.where(mbuf[slot], out, center)
+            # narrowband.with_values). The mask tiles stream in phi's dtype
+            # (Mosaic rejects bool-dtype DMAs) — nonzero means "in band".
+            out = jnp.where(mbuf[slot] != 0, out, center)
 
             # deferred-wait output pipelining (see weno_v2): program p reuses
             # obuf slot p%2 -> wait the DMA issued two LIVE programs ago.
@@ -354,6 +355,10 @@ def band_stage(
     if n0 % B0 or n1 % B1 or n2 % B2 or B1 % 8 or B2 % 128:
         raise ValueError(f"band tiles {tiles} do not divide/align {shape}")
     dtype = padded.dtype
+    if compute_mask.dtype == jnp.bool_:
+        # Mosaic rejects bool-dtype DMAs; hot callers (FusedBandStepper) keep
+        # the mask in phi's dtype across steps so this densify never runs there
+        compute_mask = compute_mask.astype(dtype)
     grid_dims = (n0 // B0, n1 // B1, n2 // B2)
     capacity = int(ids.shape[0])
     with_aux = aux_padded is not None
@@ -385,7 +390,7 @@ def band_stage(
 
     scratch = [
         pltpu.VMEM((2, S0, S1, S2), dtype),            # phi slabs
-        pltpu.VMEM((2, B0, B1, B2), jnp.bool_),        # compute-mask tiles
+        pltpu.VMEM((2, B0, B1, B2), dtype),            # compute-mask tiles
         pltpu.VMEM((2, B0, B1, B2), dtype),            # out tiles
         pltpu.VMEM((2, B0, B1, B2), dtype),            # aux tiles
         pltpu.SemaphoreType.DMA((2,)),                 # in
@@ -443,11 +448,12 @@ def band_stage_reference(
         P2, term_specs_and_streams, coeffs, t, A2, bcs, spacing, shape, lo
     )
     B0, B1, B2 = tiles
-    act = tile_activity(compute_mask, tiles)
+    cm = compute_mask != 0 if compute_mask.dtype != jnp.bool_ else compute_mask
+    act = tile_activity(cm, tiles)
     act_cells = jnp.repeat(jnp.repeat(jnp.repeat(
         act, B0, axis=0), B1, axis=1), B2, axis=2)
-    write = act_cells & compute_mask
-    keep_prev = act_cells & ~compute_mask
+    write = act_cells & cm
+    keep_prev = act_cells & ~cm
     out_interior = unpack_band_padded(out_init, shape)
     new_interior = jnp.where(
         write, dense, jnp.where(keep_prev, interior_prev, out_interior)
