@@ -75,17 +75,30 @@ def _run_fused(lsm, phi, dt, steps, tiles):
     term = lsm.AdvectionTerm(_rotation_velocity)
     if not supports_fused((term,), phi):
         return None
+    from functools import partial
+
     stepper = FusedStepper((term,), phi, lsm.ForwardEuler(), tiles=tiles)
     P = stepper.pack(phi.values)
     P.block_until_ready()
 
+    # t rides along as a DEVICE scalar: fresh host scalars as jit arguments
+    # cost a host->device transfer per call through the axon tunnel (~30 ms
+    # each — this alone made BENCH_r02's fused number 4x slower than the
+    # kernel; see docs/perf-notes.md)
+    dt_d = jnp.asarray(dt, jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def one_step(P, t):
+        return stepper._step_impl(P, t, dt_d), t + dt_d
+
     # warm-up / compile
-    P = stepper.step(P, jnp.float32(0.0), dt)
+    t = jnp.float32(0.0)
+    P, t = one_step(P, t)
     P.block_until_ready()
 
     t0 = time.perf_counter()
     for k in range(steps):
-        P = stepper.step(P, dt * (k + 1), dt)
+        P, t = one_step(P, t)
     P.block_until_ready()
     elapsed = time.perf_counter() - t0
     # guard against silent divergence (would invalidate the timing claim)
@@ -137,15 +150,23 @@ def _run_band(lsm, n, steps, dev):
     ))
     if not supports_band_fused((term,), nb):
         raise RuntimeError("band stepper does not support the bench config")
+    from functools import partial
+
     stepper = FusedBandStepper((term,), nb, lsm.ForwardEuler())
     dt = jnp.float32(0.25 * grid.min_spacing)
     state = stepper.pack(nb)
     band_cells = int(jax.device_get(jnp.sum(state.cmask != 0)))
-    state = stepper.step(state, jnp.float32(0.0), dt)  # warm-up / compile
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def one_step(state, t):
+        return stepper._step_impl(state, t, dt), t + dt
+
+    t = jnp.float32(0.0)
+    state, t = one_step(state, t)  # warm-up / compile
     jax.block_until_ready(state)
     t0 = time.perf_counter()
     for k in range(steps):
-        state = stepper.step(state, dt * (k + 1), dt)
+        state, t = one_step(state, t)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
     if stepper.overflowed(state):
@@ -168,7 +189,7 @@ def main():
     from lsm_tpu.models import shapes
 
     n = int(os.environ.get("BENCH_N", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
     path = os.environ.get("BENCH_PATH", "both")
     tiles = None
     if os.environ.get("BENCH_TILES"):

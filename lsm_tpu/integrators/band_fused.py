@@ -93,6 +93,8 @@ class FusedBandStepper:
             raise ValueError("configuration not supported by the band stepper")
         self.shape = tuple(nb.shape)
         self.bcs = nb.bcs
+        self.terms = tuple(terms)
+        self.integrator = integrator
         self.nlayers = nb.nlayers
         self.spacing = tuple(float(h) for h in nb.grid.spacing)
         self.lo = tuple(float(x) for x in nb.grid.lo)
@@ -115,6 +117,7 @@ class FusedBandStepper:
         else:
             raise ValueError(f"unsupported integrator {integrator!r}")
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._cfl = jax.jit(self._cfl_impl)
 
     # -- layout -----------------------------------------------------------------
 
@@ -153,7 +156,10 @@ class FusedBandStepper:
             self.bcs, self.spacing, self.shape, self.lo, self.tiles,
             interpret=self.interpret,
         )
-        return bp.refresh_band_ghosts(out, self.bcs, self.shape)
+        # in-place Pallas shell refresh (XLA's .at[].set costs a full pass
+        # over the ~840 MB band buffer PER SHELL at 512^3 — docs/perf-notes.md)
+        return bp.refresh_band_ghosts_fast(
+            out, self.bcs, self.shape, interpret=self.interpret)
 
     def _step_impl(self, state: BandState, t, dt):
         A, B, C = state.bufs
@@ -187,3 +193,42 @@ class FusedBandStepper:
     def step(self, state: BandState, t, dt) -> BandState:
         """One accepted step (jitted; donates ``state``)."""
         return self._step(state, t, dt)
+
+    # -- adaptive CFL + overflow recovery -----------------------------------------
+
+    def _cfl_impl(self, state: BandState, t):
+        from ..terms.terms import compute_cfl
+
+        values = bp.unpack_band_padded(state.bufs[0], self.shape)
+        nb = NarrowBandField(
+            values, self._grid_of(), self.bcs, state.mask, self.nlayers,
+            _normalized=True, _cmask=state.cmask != 0,
+        )
+        dt = compute_cfl(self.terms, nb, jnp.asarray(t, values.dtype))
+        return dt, state.count
+
+    def cfl(self, state: BandState, t):
+        """``(largest stable dt, live tile count)`` for the current state
+        (jitted; one fused device->host transfer serves both the adaptive-CFL
+        loop — reference ``timestepping.jl:101-122`` — and overflow
+        detection). CFL reduces over the ACTIVE band only, matching the
+        reference's active-node reduction (``levelsetterms.jl:31-38``)."""
+        return self._cfl(state, t)
+
+    def regrow(self, state: BandState, factor: int = 2):
+        """Recover from a dispatch-list overflow: rebuild this stepper with
+        ``factor``x capacity and re-pack the current state. Returns
+        ``(stepper, state)``. The overflow is detected BEFORE the oversized
+        band is stepped (see :meth:`cfl` /
+        :meth:`~lsm_tpu.equation.LevelSetEquation.integrate`), so no update
+        was ever lost."""
+        total = 1
+        for n, b in zip(self.shape, self.tiles):
+            total *= n // b
+        nb = self.unpack(state)
+        stepper = FusedBandStepper(
+            self.terms, nb, self.integrator, tiles=self.tiles,
+            capacity=min(total, max(self.capacity * factor, 64)),
+            interpret=self.interpret,
+        )
+        return stepper, stepper.pack(nb)

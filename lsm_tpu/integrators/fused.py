@@ -97,11 +97,14 @@ class FusedStepper:
             raise ValueError("configuration not supported by the fused driver")
         self.shape = tuple(phi.shape)
         self.bcs = phi.bcs
+        self.grid = phi.grid
+        self.terms = tuple(terms)
         self.spacing = tuple(float(h) for h in phi.spacing)
         self.lo = tuple(float(x) for x in phi.grid.lo)
         self.tiles = tiles
         self.interpret = interpret
         self.specs = tuple(_term_spec(t, phi) for t in terms)
+        self._cfl = jax.jit(self._cfl_impl)
         if isinstance(integrator, RK3):
             self._table = "rk3"
         elif isinstance(integrator, RK2):
@@ -127,7 +130,11 @@ class FusedStepper:
             P, self.specs, coeffs, t_stage, aux, self.bcs, self.spacing,
             self.shape, self.lo, tiles=self.tiles, interpret=self.interpret,
         )
-        return v2.refresh_ghosts(out, self.bcs, self.shape)
+        # in-place Pallas shell refresh: the XLA .at[].set version costs a
+        # full-buffer pass PER SHELL (~6.8 ms of the 17 ms step at 512^3,
+        # docs/profile_r3_parts.py)
+        return v2.refresh_ghosts_fast(
+            out, self.bcs, self.shape, interpret=self.interpret)
 
     def _step_impl(self, P, t, dt):
         t = jnp.asarray(t, P.dtype)
@@ -145,3 +152,20 @@ class FusedStepper:
     def step(self, P: jnp.ndarray, t, dt) -> jnp.ndarray:
         """One accepted step (jitted; donates ``P``)."""
         return self._step(P, t, dt)
+
+    # -- adaptive CFL on the fast path --------------------------------------------
+
+    def _cfl_impl(self, P, t):
+        from ..terms.terms import compute_cfl
+
+        field = MeshField(
+            v2.unpack_padded(P, self.shape), self.grid, self.bcs,
+            _normalized=True,
+        )
+        return compute_cfl(self.terms, field, jnp.asarray(t, P.dtype))
+
+    def cfl(self, P: jnp.ndarray, t) -> jnp.ndarray:
+        """Largest stable ``dt`` for the current padded state (jitted; the
+        fused-path equivalent of ``compute_cfl`` — reference loop semantics
+        ``/root/reference/src/timestepping.jl:101-122``)."""
+        return self._cfl(P, t)

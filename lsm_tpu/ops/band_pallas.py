@@ -59,6 +59,7 @@ __all__ = [
     "pack_band_padded",
     "unpack_band_padded",
     "refresh_band_ghosts",
+    "refresh_band_ghosts_fast",
     "tile_activity",
     "active_tile_ids",
     "band_stage",
@@ -113,6 +114,194 @@ def refresh_band_ghosts(padded: jnp.ndarray, bcs, shape) -> jnp.ndarray:
     padded = padded.at[:, _G1 - _G:_G1 + n1 + _G, _L - _G:_L].set(l2)
     padded = padded.at[:, _G1 - _G:_G1 + n1 + _G, _L + n2:_L + n2 + _G].set(r2)
     return padded
+
+
+# -- in-place Pallas ghost refresh (band layout) ------------------------------------
+#
+# Same motivation as :func:`lsm_tpu.ops.weno_v2.refresh_ghosts_fast`: each XLA
+# ``.at[].set`` shell update costs a full pass over the ~840 MB band buffer at
+# 512^3 (measured ~1.9 ms per shell for the v2 buffer, docs/profile_r3_parts).
+# This kernel updates only the shells (~0.6 GB of DMA at 512^3, dominated by
+# the aligned 128-lane edge blocks of the dim-2 phase) with the buffer
+# aliased in place.
+
+
+def _ghost_combo(locs, bc, side, n, P_weights=None):
+    """(index, weight) ghost recipes against an edge block, outermost-first for
+    the left side / innermost-first for the right (``_ghost_block`` order).
+    ``locs(j)`` maps a source column (0-indexed from that side's boundary) to
+    the local index in the edge block."""
+    if isinstance(bc, _bc.Periodic):
+        # left ghost -k -> col n-1-k (far side); right ghost +k -> col k
+        if side == "left":
+            return [[(locs("far", n - 1 - k), 1.0)] for k in (3, 2, 1)]
+        return [[(locs("near", k), 1.0)] for k in (1, 2, 3)]
+    if isinstance(bc, _bc.Symmetry):
+        if side == "left":  # ghost -k -> col k
+            return [[(locs("near", k), 1.0)] for k in (3, 2, 1)]
+        return [[(locs("far", n - 1 - k), 1.0)] for k in (1, 2, 3)]
+    P = bc.degree
+    W = _bc._lagrange_extrap_weights(_G, P)
+    out = []
+    rows = range(_G) if side == "left" else range(_G - 1, -1, -1)
+    for g in rows:
+        if side == "left":
+            out.append([(locs("near", j), float(W[g, j])) for j in range(P + 1)])
+        else:
+            out.append(
+                [(locs("far", n - 1 - j), float(W[g, j])) for j in range(P + 1)])
+    return out
+
+
+def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
+                             interpret: bool = False) -> jnp.ndarray:
+    """In-place Pallas equivalent of :func:`refresh_band_ghosts` (same
+    dim 0 -> 1 -> 2 composition). Falls back to the XLA version when the
+    layout constraints do not hold."""
+    n0, n1, n2 = shape
+    dtype = padded.dtype
+    maxP = max(
+        (b.degree for pair in bcs for b in pair
+         if isinstance(b, _bc.Extrapolation)),
+        default=0,
+    )
+    S0 = n0 + 2 * _G
+    S1 = n1 + 2 * _G1
+    C0 = 32  # dim-0 chunk rows for the dim-2 (lane) phase
+    itemsize = jnp.dtype(dtype).itemsize
+    vmem_est = itemsize * (
+        max(_G, maxP + 1) * n1 * n2 + _G * n1 * n2      # dim-0 src + write
+        + 3 * S0 * 8 * n2                               # dim-1 A/B/write
+        + 3 * C0 * S1 * _L                              # dim-2 A/B/write
+    )
+    if (
+        not _HAS_PALLAS
+        or n1 % 8
+        or n2 % _L
+        or maxP > 7
+        or maxP + 1 > min(n0, n1, n2, 128)
+        or S0 < C0
+        or vmem_est > 88 * 1024 * 1024
+    ):
+        return refresh_band_ghosts(padded, bcs, shape)
+    K0 = max(_G, maxP + 1)
+    nchunks = -(-S0 // C0)
+
+    def kernel(o_in, o_ref, src0, w0, eA, eB, e1w, zA, zB, zw, sem):
+        del o_in
+
+        def copy(src, dst):
+            cp = pltpu.make_async_copy(src, dst, sem)
+            cp.start()
+            cp.wait()
+
+        # -- dim 0 ------------------------------------------------------------
+        for side, bc in (("left", bcs[0][0]), ("right", bcs[0][1])):
+            if isinstance(bc, _bc.Periodic):
+                r0, K = (n0 - 1 if side == "left" else _G + 1), _G
+            elif isinstance(bc, _bc.Symmetry):
+                r0, K = (_G + 1 if side == "left" else n0 - 1), _G
+            else:
+                P = bc.degree
+                r0, K = (_G if side == "left" else _G + n0 - 1 - P), P + 1
+            copy(o_ref.at[pl.ds(r0, K), pl.ds(_G1, n1), pl.ds(_L, n2)],
+                 src0.at[pl.ds(0, K)])
+            block = src0[pl.ds(0, K)]
+            if isinstance(bc, _bc.Periodic):
+                ghost = block
+            elif isinstance(bc, _bc.Symmetry):
+                ghost = block[::-1]
+            else:
+                P = bc.degree
+                W = _bc._lagrange_extrap_weights(_G, P)
+                if side == "right":
+                    W = W[::-1, ::-1]
+                rows = []
+                for g in range(_G):
+                    acc = float(W[g, 0]) * block[0]
+                    for j in range(1, P + 1):
+                        acc = acc + float(W[g, j]) * block[j]
+                    rows.append(acc)
+                ghost = jnp.stack(rows, axis=0)
+            w0[:] = ghost
+            dst = 0 if side == "left" else _G + n0
+            copy(w0, o_ref.at[pl.ds(dst, _G), pl.ds(_G1, n1), pl.ds(_L, n2)])
+
+        # -- dim 1 (from columns incl. fresh dim-0 ghosts) ---------------------
+        copy(o_ref.at[:, pl.ds(_G1, 8), pl.ds(_L, n2)], eA)
+        copy(o_ref.at[:, pl.ds(n1, 8), pl.ds(_L, n2)], eB)
+
+        def locs1(which, col):
+            # near cols 0..7 live in eA at local col; far cols n1-8..n1-1 in
+            # eB at local col - (n1 - 8)
+            return (eA, col) if which == "near" else (eB, col - (n1 - 8))
+
+        for side, bc, off in (("left", bcs[1][0], 0),
+                              ("right", bcs[1][1], _G1 + n1)):
+            combos = _ghost_combo(lambda w, c: locs1(w, c), bc, side, n1)
+            cols = []
+            for recipe in combos:
+                (buf, c0), w = recipe[0]
+                acc = w * buf[:, c0, :]
+                for (buf, c), w in recipe[1:]:
+                    acc = acc + w * buf[:, c, :]
+                cols.append(acc[:, None, :])
+            zero = jnp.zeros((S0, 1, n2), dtype)
+            if side == "left":
+                e1w[:] = jnp.concatenate([zero] * 5 + cols, axis=1)
+            else:
+                e1w[:] = jnp.concatenate(cols + [zero] * 5, axis=1)
+            copy(e1w, o_ref.at[:, pl.ds(off, 8), pl.ds(_L, n2)])
+
+        # -- dim 2 (lane shells, from slabs incl. fresh dim-0/1 ghosts) --------
+        def locs2(which, col):
+            return (zA, col) if which == "near" else (zB, col - (n2 - _L))
+
+        for ci in range(nchunks):
+            r0 = min(ci * C0, S0 - C0)
+            copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(_L, _L)], zA)
+            copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(n2, _L)], zB)
+            for side, bc, off in (("left", bcs[2][0], 0),
+                                  ("right", bcs[2][1], _L + n2)):
+                combos = _ghost_combo(lambda w, c: locs2(w, c), bc, side, n2)
+                lanes = []
+                for recipe in combos:
+                    (buf, c0), w = recipe[0]
+                    acc = w * buf[:, :, c0:c0 + 1]
+                    for (buf, c), w in recipe[1:]:
+                        acc = acc + w * buf[:, :, c:c + 1]
+                    lanes.append(acc)
+                zero = jnp.zeros((C0, S1, _L - _G), dtype)
+                if side == "left":
+                    zw[:] = jnp.concatenate([zero] + lanes, axis=2)
+                else:
+                    zw[:] = jnp.concatenate(lanes + [zero], axis=2)
+                copy(zw, o_ref.at[pl.ds(r0, C0), :, pl.ds(off, _L)])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        out_shape=jax.ShapeDtypeStruct(padded.shape, dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((K0, n1, n2), dtype),       # dim-0 source rows
+            pltpu.VMEM((_G, n1, n2), dtype),       # dim-0 ghost block
+            pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 edge A (first cols)
+            pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 edge B (last cols)
+            pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 write block
+            pltpu.VMEM((C0, S1, _L), dtype),       # dim-2 edge A
+            pltpu.VMEM((C0, S1, _L), dtype),       # dim-2 edge B
+            pltpu.VMEM((C0, S1, _L), dtype),       # dim-2 write block
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(padded)
 
 
 # -- active-tile dispatch -----------------------------------------------------------

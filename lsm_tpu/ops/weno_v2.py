@@ -61,6 +61,7 @@ __all__ = [
     "pack_padded",
     "unpack_padded",
     "refresh_ghosts",
+    "refresh_ghosts_fast",
     "fused_stage",
     "stage_reference",
     "supports_v2",
@@ -121,6 +122,163 @@ def refresh_ghosts(padded: jnp.ndarray, bcs, shape) -> jnp.ndarray:
     padded = padded.at[:, _G1 - _G:_G1, :].set(l1)
     padded = padded.at[:, _G1 + n1:_G1 + n1 + _G, :].set(r1)
     return padded
+
+
+# -- in-place Pallas ghost refresh --------------------------------------------------
+#
+# ``refresh_ghosts`` is semantically O(N^2) but measured at ~6.8 ms per call at
+# 512^3 (docs/profile_r3_parts.py): every ``.at[].set`` on the 548 MB padded
+# buffer costs XLA a full-buffer pass (~1.9 ms each, measured), so the "cheap"
+# shell refresh ate 40% of the fused step. This kernel updates ONLY the shells
+# (~60 MB of DMA at 512^3) with the buffer aliased in place.
+
+
+def _dim0_shell(o_ref, src, wbuf, sem, bc, side, n0, n1, dtype):
+    """Refresh one dim-0 ghost shell: read the source rows, compute the
+    (_G, n1, n2) ghost block (exact ``_ghost_block`` semantics), write it."""
+    if isinstance(bc, _bc.Periodic):
+        r0, K = n0 - 1 if side == "left" else 4, _G
+    elif isinstance(bc, _bc.Symmetry):
+        r0, K = 4 if side == "left" else n0 - 1, _G
+    else:
+        P = bc.degree
+        r0, K = _G if side == "left" else _G + n0 - 1 - P, P + 1
+    rd = pltpu.make_async_copy(
+        o_ref.at[pl.ds(r0, K), pl.ds(_G1, n1), :], src.at[pl.ds(0, K)], sem)
+    rd.start()
+    rd.wait()
+    block = src[pl.ds(0, K)]
+    if isinstance(bc, _bc.Periodic):
+        ghost = block
+    elif isinstance(bc, _bc.Symmetry):
+        ghost = block[::-1]
+    else:
+        P = bc.degree
+        W = _bc._lagrange_extrap_weights(_G, P)
+        if side == "right":
+            # right block is innermost-first and reads nodes n-1..n-1-P, but
+            # we fetched rows ascending (n-1-P..n-1): flip both
+            W = W[::-1, ::-1]
+        # scalar-weighted sums (Pallas kernels cannot capture array constants)
+        rows = []
+        for g in range(_G):
+            acc = float(W[g, 0]) * block[0]
+            for j in range(1, P + 1):
+                acc = acc + float(W[g, j]) * block[j]
+            rows.append(acc)
+        ghost = jnp.stack(rows, axis=0)
+    wbuf[:] = ghost
+    dst = 0 if side == "left" else _G + n0
+    wr = pltpu.make_async_copy(
+        wbuf, o_ref.at[pl.ds(dst, _G), pl.ds(_G1, n1), :], sem)
+    wr.start()
+    wr.wait()
+
+
+def _dim1_ghost_cols(blkA, blkB, bc, side, n1, dtype):
+    """The _G ghost columns for one side of dim 1 (outermost-first for left,
+    innermost-first for right) from the aligned edge blocks A (interior cols
+    0..7) and B (interior cols n1-8..n1-1)."""
+    if isinstance(bc, _bc.Periodic):
+        if side == "left":  # ghost -k -> col n1-1-k -> B local 7-k, k=3,2,1
+            return [blkB[:, 7 - k, :] for k in (3, 2, 1)]
+        return [blkA[:, k, :] for k in (1, 2, 3)]  # ghost +k -> col k
+    if isinstance(bc, _bc.Symmetry):
+        if side == "left":  # ghost -k -> col k -> A local k
+            return [blkA[:, k, :] for k in (3, 2, 1)]
+        return [blkB[:, 7 - k, :] for k in (1, 2, 3)]  # col n1-1-k
+    P = bc.degree
+    W = _bc._lagrange_extrap_weights(_G, P)
+    cols = []
+    rows = range(_G) if side == "left" else range(_G - 1, -1, -1)
+    for g in rows:
+        if side == "left":
+            acc = float(W[g, 0]) * blkA[:, 0, :]
+            for j in range(1, P + 1):
+                acc = acc + float(W[g, j]) * blkA[:, j, :]
+        else:
+            acc = float(W[g, 0]) * blkB[:, 7, :]
+            for j in range(1, P + 1):
+                acc = acc + float(W[g, j]) * blkB[:, 7 - j, :]
+        cols.append(acc)
+    return cols
+
+
+def refresh_ghosts_fast(padded: jnp.ndarray, bcs, shape,
+                        interpret: bool = False) -> jnp.ndarray:
+    """In-place Pallas equivalent of :func:`refresh_ghosts` (same composition
+    order, bit-identical up to FP contraction): updates only the ghost shells
+    via manual DMA with the buffer aliased, instead of XLA's full-buffer
+    passes. Falls back to the XLA version when unsupported."""
+    n0, n1, n2 = shape
+    dtype = padded.dtype
+    maxP = max(
+        (b.degree for pair in bcs[:2] for b in pair
+         if isinstance(b, _bc.Extrapolation)),
+        default=0,
+    )
+    K0_est = max(_G, maxP + 1)
+    vmem_est = jnp.dtype(dtype).itemsize * n2 * (
+        (K0_est + _G) * n1 + 3 * 8 * (n0 + 2 * _G))
+    if (
+        not _HAS_PALLAS
+        or n1 % 8
+        or n1 < 8
+        or maxP > 7
+        or maxP + 1 > min(n0, n1)
+        or vmem_est > 88 * 1024 * 1024
+    ):
+        return refresh_ghosts(padded, bcs, shape)
+    S0 = n0 + 2 * _G
+    K0 = max(_G, maxP + 1)
+
+    def kernel(o_in, o_ref, src, wbuf, eA, eB, ebuf, sem):
+        del o_in  # aliased to o_ref; all access goes through the output ref
+        # dim 0 first, then dim 1 from columns including the fresh dim-0
+        # ghosts — the pad_ghost composition order (corner ghosts match)
+        _dim0_shell(o_ref, src, wbuf, sem, bcs[0][0], "left", n0, n1, dtype)
+        _dim0_shell(o_ref, src, wbuf, sem, bcs[0][1], "right", n0, n1, dtype)
+        rdA = pltpu.make_async_copy(o_ref.at[:, pl.ds(_G1, 8), :], eA, sem)
+        rdA.start()
+        rdA.wait()
+        rdB = pltpu.make_async_copy(o_ref.at[:, pl.ds(n1, 8), :], eB, sem)
+        rdB.start()
+        rdB.wait()
+        zero = jnp.zeros((S0, 1, n2), dtype)
+        lcols = _dim1_ghost_cols(eA, eB, bcs[1][0], "left", n1, dtype)
+        ebuf[:] = jnp.concatenate(
+            [zero] * 5 + [c[:, None, :] for c in lcols], axis=1)
+        wl = pltpu.make_async_copy(ebuf, o_ref.at[:, pl.ds(0, 8), :], sem)
+        wl.start()
+        wl.wait()
+        rcols = _dim1_ghost_cols(eA, eB, bcs[1][1], "right", n1, dtype)
+        ebuf[:] = jnp.concatenate(
+            [c[:, None, :] for c in rcols] + [zero] * 5, axis=1)
+        wr = pltpu.make_async_copy(ebuf, o_ref.at[:, pl.ds(_G1 + n1, 8), :], sem)
+        wr.start()
+        wr.wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        out_shape=jax.ShapeDtypeStruct(padded.shape, dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((K0, n1, n2), dtype),      # dim-0 source rows
+            pltpu.VMEM((_G, n1, n2), dtype),      # dim-0 ghost block
+            pltpu.VMEM((S0, 8, n2), dtype),       # edge block A (first cols)
+            pltpu.VMEM((S0, 8, n2), dtype),       # edge block B (last cols)
+            pltpu.VMEM((S0, 8, n2), dtype),       # dim-1 write block
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(padded)
 
 
 # -- in-kernel lane ghosts ----------------------------------------------------------
@@ -452,8 +610,10 @@ def _make_kernel(B0, B1, shape, spacing, grid_dims, bcs2, term_specs,
 
 
 def _pick_tiles(shape):
+    # (8, 128) measured fastest at 512^3 on v5e (docs/profile_r3_parts.py:
+    # 9.85 ms vs 11.6 ms for (16, 128)); prefer it wherever it divides
     n0, n1, _ = shape
-    B0 = next((b for b in (16, 8, 4, 2) if n0 % b == 0), None)
+    B0 = next((b for b in (8, 16, 4, 2) if n0 % b == 0), None)
     B1 = next((b for b in (128, 64, 32, 16, 8) if n1 % b == 0), None)
     return B0, B1
 

@@ -16,6 +16,7 @@ from lsm_tpu.integrators.band_fused import (
 )
 from lsm_tpu.integrators.loop import step as dense_step
 from lsm_tpu.models import shapes
+from lsm_tpu.core import bc as _bc
 from lsm_tpu.ops import band_pallas as bp
 from lsm_tpu.ops.weno_v2 import TermSpec
 
@@ -154,3 +155,35 @@ def test_band_stepper_matches_dense_band(integ):
     np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
     d = float(jnp.abs(out.values - ref.values).max())
     assert d < 1e-11  # identical stencil helpers on the same cells
+
+
+class TestRefreshBandGhostsFast:
+    """In-place Pallas band shell refresh == the XLA oracle for every BC kind
+    (junk sublanes/lanes excluded: never read by any consumer)."""
+
+    CASES = [
+        _bc.normalize_bcs(_bc.Symmetry(), 3),
+        _bc.normalize_bcs(_bc.Extrapolation(0), 3),
+        _bc.normalize_bcs(_bc.Extrapolation(2), 3),
+        _bc.normalize_bcs(_bc.Periodic(), 3),
+        _bc.normalize_bcs(
+            [(_bc.Symmetry(), _bc.Extrapolation(1)), _bc.Extrapolation(3),
+             (_bc.Extrapolation(2), _bc.Symmetry())], 3),
+    ]
+
+    @pytest.mark.parametrize("bcs", CASES, ids=lambda b: _bc.bcs_str(b))
+    def test_parity(self, bcs):
+        rng = np.random.default_rng(1)
+        shape = (28, 16, 128)
+        n1 = shape[1]
+        n2 = shape[2]
+        vals = jnp.asarray(rng.standard_normal(shape))
+        P = bp.pack_band_padded(vals, bcs)
+        Pd = (P.at[0:3].add(7.0).at[-3:].add(-3.0)
+               .at[:, 5:8].add(2.0).at[:, -8:-5].add(1.0)
+               .at[:, :, 125:128].add(4.0).at[:, :, -131:-125].add(5.0))
+        ref = bp.refresh_band_ghosts(Pd, bcs, shape)
+        got = bp.refresh_band_ghosts_fast(Pd, bcs, shape, interpret=True)
+        r = ref[:, 5:11 + n1, 125:131 + n2]
+        g = got[:, 5:11 + n1, 125:131 + n2]
+        assert float(jnp.abs(g - r).max()) < 1e-11

@@ -1,0 +1,140 @@
+"""The public API takes the fused fast path (VERDICT r2 missing #3/#4).
+
+``LevelSetEquation.integrate`` must drive the fused padded-state steppers —
+with the same adaptive per-accepted-step CFL as the reference loop
+(``/root/reference/src/timestepping.jl:101-122``) — whenever the configuration
+qualifies, and the band driver must recover from dispatch-list overflow by
+regrowing instead of silently dropping tiles. Interpret mode stands in for
+the compiled kernels on CPU (compiled parity: tests/test_tpu_compiled.py).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import lsm_tpu as lsm
+from lsm_tpu.core.narrowband import NarrowBandField
+from lsm_tpu.integrators.band_fused import FusedBandStepper
+
+
+def _vel3(xs, t):
+    return (
+        -xs[1] + 0.0 * (xs[0] + xs[2]),
+        xs[0] + 0.0 * (xs[1] + xs[2]),
+        0.0 * (xs[0] + xs[1] + xs[2]),
+    )
+
+
+def _dense_setup():
+    grid = lsm.Grid((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), (16, 16, 128))
+    phi = lsm.sample(
+        lambda X, Y, Z: jnp.sqrt(X**2 + Y**2 + Z**2) - 0.5, grid,
+        lsm.Extrapolation(2),
+    )
+    return grid, phi
+
+
+def test_integrate_takes_fused_path_and_matches_general_path():
+    grid, phi = _dense_setup()
+    tf = 2.5 * 0.25 * grid.min_spacing  # a few adaptive steps, lands on tf
+
+    eq_fast = lsm.LevelSetEquation(
+        terms=lsm.AdvectionTerm(_vel3), ic=phi, integrator=lsm.RK3())
+    eq_fast.integrate(tf, fast="interpret")
+    assert eq_fast.last_fast_path == "fused"
+    assert eq_fast.current_time == tf
+
+    eq_ref = lsm.LevelSetEquation(
+        terms=lsm.AdvectionTerm(_vel3), ic=phi, integrator=lsm.RK3())
+    eq_ref.integrate(tf, fast="off")
+    assert eq_ref.last_fast_path is None
+
+    np.testing.assert_allclose(
+        np.asarray(eq_fast.current_state.values),
+        np.asarray(eq_ref.current_state.values),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_fast_stepper_cached_across_integrate_calls():
+    grid, phi = _dense_setup()
+    dt = 0.25 * grid.min_spacing
+    eq = lsm.LevelSetEquation(
+        terms=lsm.AdvectionTerm(_vel3), ic=phi, integrator=lsm.RK3())
+    eq.integrate(dt, fast="interpret")
+    stepper1 = eq._fast_cache[3]
+    eq.integrate(2 * dt, fast="interpret")  # the animation idiom
+    assert eq._fast_cache[3] is stepper1
+
+
+def test_integrate_takes_band_path_and_matches_general_path():
+    grid, phi = _dense_setup()
+    nb = NarrowBandField.from_field(phi, nlayers=4)
+    tf = 2.0 * 0.25 * grid.min_spacing
+
+    eq_fast = lsm.LevelSetEquation(
+        terms=lsm.AdvectionTerm(_vel3), ic=nb, integrator=lsm.RK3())
+    eq_fast.integrate(tf, fast="interpret")
+    assert eq_fast.last_fast_path == "band"
+
+    eq_ref = lsm.LevelSetEquation(
+        terms=lsm.AdvectionTerm(_vel3), ic=nb, integrator=lsm.RK3())
+    eq_ref.integrate(tf, fast="off")
+
+    got = eq_fast.current_state
+    ref = eq_ref.current_state
+    assert isinstance(got, NarrowBandField)
+    np.testing.assert_allclose(
+        np.asarray(got.values), np.asarray(ref.values), rtol=1e-10, atol=1e-12)
+    assert np.array_equal(np.asarray(got.active_mask), np.asarray(ref.active_mask))
+
+
+def test_band_overflow_regrows_instead_of_dropping_tiles():
+    grid, phi = _dense_setup()
+    nb = NarrowBandField.from_field(phi, nlayers=4)
+    term = lsm.AdvectionTerm(_vel3)
+
+    # deliberately undersized dispatch list: pack() records count > capacity
+    small = FusedBandStepper((term,), nb, lsm.RK3(), capacity=1, interpret=True)
+    state = small.pack(nb)
+    _, count = small.cfl(state, 0.0)
+    assert int(count) > small.capacity  # the overflow the old API left silent
+
+    grown, state2 = small.regrow(state)
+    assert grown.capacity > small.capacity
+    _, count2 = grown.cfl(state2, 0.0)
+    assert int(count2) <= grown.capacity
+
+    # the regrown stepper steps correctly (dense-band oracle)
+    dt = jnp.asarray(0.25 * grid.min_spacing, nb.dtype)
+    state2 = grown.step(state2, 0.0 * dt, dt)
+    got = grown.unpack(state2)
+    from lsm_tpu.integrators import loop as _loop
+
+    ref, _ = _loop.step(lsm.RK3(), (term,), nb, 0.0, float(dt))
+    ref = ref.update_band()
+    np.testing.assert_allclose(
+        np.asarray(got.values), np.asarray(ref.values), rtol=1e-10, atol=1e-12)
+
+
+def test_integrate_regrows_band_through_public_api():
+    grid, phi = _dense_setup()
+    nb = NarrowBandField.from_field(phi, nlayers=4)
+    eq = lsm.LevelSetEquation(
+        terms=lsm.AdvectionTerm(_vel3), ic=nb, integrator=lsm.RK3())
+    # prime the cache with an undersized stepper, as if the band had grown
+    small = FusedBandStepper(
+        (eq.terms[0],), nb, eq.integrator, capacity=1, interpret=True)
+    eq._fast_cache = (eq.terms, eq.integrator, True, small)
+    dt = 0.25 * grid.min_spacing
+    eq.integrate(1.5 * dt, fast="interpret")
+    assert eq.last_fast_path == "band"
+    grown = eq._fast_cache[3]
+    assert grown.capacity > small.capacity
+
+    eq_ref = lsm.LevelSetEquation(
+        terms=lsm.AdvectionTerm(_vel3), ic=nb, integrator=lsm.RK3())
+    eq_ref.integrate(1.5 * dt, fast="off")
+    np.testing.assert_allclose(
+        np.asarray(eq.current_state.values),
+        np.asarray(eq_ref.current_state.values), rtol=1e-10, atol=1e-12)

@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 import lsm_tpu as lsm
+from lsm_tpu.core import bc
 from lsm_tpu.core import bc as _bc
 from lsm_tpu.integrators.fused import FusedStepper, supports_fused
 from lsm_tpu.models import shapes
@@ -224,3 +225,33 @@ def test_supports_fused_rejections():
     g3 = lsm.Grid((0.0, 0.0), (1.0, 1.0), (64, 128))
     p3 = lsm.sample(shapes.zalesak_disk(), g3, lsm.Periodic(), dtype=DT)
     assert not supports_fused((lsm.AdvectionTerm(lambda xs, t: (1.0 + 0 * xs[0], 0 * xs[1])),), p3)
+
+
+class TestRefreshGhostsFast:
+    """In-place Pallas shell refresh == the XLA oracle for every BC kind
+    (junk sublanes excluded: they are never read by any consumer)."""
+
+    CASES = [
+        bc.normalize_bcs(bc.Periodic(), 3),
+        bc.normalize_bcs(bc.Symmetry(), 3),
+        bc.normalize_bcs(bc.Extrapolation(0), 3),
+        bc.normalize_bcs(bc.Extrapolation(2), 3),
+        bc.normalize_bcs(
+            [(bc.Symmetry(), bc.Extrapolation(1)), bc.Periodic(),
+             (bc.Extrapolation(3), bc.Symmetry())], 3),
+    ]
+
+    @pytest.mark.parametrize("bcs", CASES, ids=lambda b: bc.bcs_str(b))
+    def test_parity(self, bcs):
+        rng = np.random.default_rng(0)
+        shape = (12, 16, 128)
+        n1 = shape[1]
+        vals = jnp.asarray(rng.standard_normal(shape))
+        P = v2.pack_padded(vals, bcs)
+        # scribble every shell so the refresh has real work to do
+        Pd = (P.at[0:3].add(7.0).at[-3:].add(-3.0)
+               .at[:, 5:8].add(2.0).at[:, -8:-5].add(1.0))
+        ref = v2.refresh_ghosts(Pd, bcs, shape)
+        got = v2.refresh_ghosts_fast(Pd, bcs, shape, interpret=True)
+        err = float(jnp.abs(got[:, 5:11 + n1] - ref[:, 5:11 + n1]).max())
+        assert err < 1e-11
