@@ -127,14 +127,15 @@ class FusedBandStepper:
         # fresh copies: step() donates the state, and aliasing the caller's
         # mask arrays would delete them out from under the NarrowBandField
         mask = jnp.logical_or(nb.mask, False)
-        cmask = nb.compute_mask.astype(Q.dtype)
+        cmask = bp.pack_band_mask(nb.compute_mask, Q.dtype)
         return BandState((Q, Q + 0.0, Q + 0.0), mask, cmask, ids, count)
 
     def unpack(self, state: BandState) -> NarrowBandField:
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
         return NarrowBandField(
             values, self._grid_of(), self.bcs, state.mask, self.nlayers,
-            _normalized=True, _cmask=state.cmask != 0,
+            _normalized=True,
+            _cmask=bp.unpack_band_padded(state.cmask, self.shape) != 0,
         )
 
     def _grid_of(self):
@@ -188,7 +189,8 @@ class FusedBandStepper:
         mask = band_mask_from_values(values, self.nlayers, state.mask)
         cmask = l1_dilate(mask, NarrowBandField.COMPUTE_HALO)
         ids, count = bp.active_tile_ids(cmask, self.tiles, self.capacity)
-        return BandState((cur, s1, s2), mask, cmask.astype(A.dtype), ids, count)
+        return BandState(
+            (cur, s1, s2), mask, bp.pack_band_mask(cmask, A.dtype), ids, count)
 
     def step(self, state: BandState, t, dt) -> BandState:
         """One accepted step (jitted; donates ``state``)."""
@@ -202,7 +204,8 @@ class FusedBandStepper:
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
         nb = NarrowBandField(
             values, self._grid_of(), self.bcs, state.mask, self.nlayers,
-            _normalized=True, _cmask=state.cmask != 0,
+            _normalized=True,
+            _cmask=bp.unpack_band_padded(state.cmask, self.shape) != 0,
         )
         dt = compute_cfl(self.terms, nb, jnp.asarray(t, values.dtype))
         return dt, state.count

@@ -66,7 +66,9 @@ __all__ = [
     "band_stage_reference",
 ]
 
-_G = st.PAD_WENO5  # 3
+_G = st.PAD_WENO5  # 3 — ghost width (stencil reach)
+_G0 = 8  # dim-0 stored pad: 5 junk rows + 3 ghosts, interior at row 8 so the
+# retube kernel's halo-8 slab fetches (offset i*B0) stay in bounds
 _G1 = 8
 _L = 128
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -74,21 +76,28 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 def band_padded_shape(shape) -> Tuple[int, int, int]:
     n0, n1, n2 = shape
-    return (n0 + 2 * _G, n1 + 2 * _G1, n2 + 2 * _L)
+    return (n0 + 2 * _G0, n1 + 2 * _G1, n2 + 2 * _L)
 
 
 def pack_band_padded(values: jnp.ndarray, bcs) -> jnp.ndarray:
     """Interior values -> band-padded layout (ghosts on all three dims at
-    offsets (3, 8, 128); junk elsewhere zeroed)."""
+    offsets (8, 8, 128); junk elsewhere zeroed)."""
     p = _bc.pad_ghost(values, bcs, _G)  # uniform 3-pad, all dims
     return jnp.pad(
-        p, [(0, 0), (_G1 - _G, _G1 - _G), (_L - _G, _L - _G)]
+        p, [(_G0 - _G, _G0 - _G), (_G1 - _G, _G1 - _G), (_L - _G, _L - _G)]
+    )
+
+
+def pack_band_mask(mask: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Node mask -> padded layout (zeros in the pad; phi's dtype for DMA)."""
+    return jnp.pad(
+        mask.astype(dtype), [(_G0, _G0), (_G1, _G1), (_L, _L)]
     )
 
 
 def unpack_band_padded(padded: jnp.ndarray, shape) -> jnp.ndarray:
     n0, n1, n2 = shape
-    return padded[_G:_G + n0, _G1:_G1 + n1, _L:_L + n2]
+    return padded[_G0:_G0 + n0, _G1:_G1 + n1, _L:_L + n2]
 
 
 def refresh_band_ghosts(padded: jnp.ndarray, bcs, shape) -> jnp.ndarray:
@@ -96,11 +105,11 @@ def refresh_band_ghosts(padded: jnp.ndarray, bcs, shape) -> jnp.ndarray:
     order) from the current interior. O(N^2) work."""
     n0, n1, n2 = shape
     interior = unpack_band_padded(padded, shape)
-    # dim 0 from interior
+    # dim 0 from interior (ghost rows at [_G0-_G, _G0) and [_G0+n0, _G0+n0+_G))
     l0 = _bc._ghost_block(interior, bcs[0][0], 0, _G, "left")
     r0 = _bc._ghost_block(interior, bcs[0][1], 0, _G, "right")
-    padded = padded.at[:_G, _G1:_G1 + n1, _L:_L + n2].set(l0)
-    padded = padded.at[_G + n0:, _G1:_G1 + n1, _L:_L + n2].set(r0)
+    padded = padded.at[_G0 - _G:_G0, _G1:_G1 + n1, _L:_L + n2].set(l0)
+    padded = padded.at[_G0 + n0:_G0 + n0 + _G, _G1:_G1 + n1, _L:_L + n2].set(r0)
     # dim 1 from rows incl. fresh dim-0 ghosts
     col = padded[:, _G1:_G1 + n1, _L:_L + n2]
     l1 = _bc._ghost_block(col, bcs[1][0], 1, _G, "left")
@@ -165,7 +174,7 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
          if isinstance(b, _bc.Extrapolation)),
         default=0,
     )
-    S0 = n0 + 2 * _G
+    S0 = n0 + 2 * _G0
     S1 = n1 + 2 * _G1
     C0 = 32  # dim-0 chunk rows for the dim-2 (lane) phase
     itemsize = jnp.dtype(dtype).itemsize
@@ -198,12 +207,12 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
         # -- dim 0 ------------------------------------------------------------
         for side, bc in (("left", bcs[0][0]), ("right", bcs[0][1])):
             if isinstance(bc, _bc.Periodic):
-                r0, K = (n0 - 1 if side == "left" else _G + 1), _G
+                r0, K = (_G0 + n0 - 4 if side == "left" else _G0 + 1), _G
             elif isinstance(bc, _bc.Symmetry):
-                r0, K = (_G + 1 if side == "left" else n0 - 1), _G
+                r0, K = (_G0 + 1 if side == "left" else _G0 + n0 - 4), _G
             else:
                 P = bc.degree
-                r0, K = (_G if side == "left" else _G + n0 - 1 - P), P + 1
+                r0, K = (_G0 if side == "left" else _G0 + n0 - 1 - P), P + 1
             copy(o_ref.at[pl.ds(r0, K), pl.ds(_G1, n1), pl.ds(_L, n2)],
                  src0.at[pl.ds(0, K)])
             block = src0[pl.ds(0, K)]
@@ -224,7 +233,7 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
                     rows.append(acc)
                 ghost = jnp.stack(rows, axis=0)
             w0[:] = ghost
-            dst = 0 if side == "left" else _G + n0
+            dst = _G0 - _G if side == "left" else _G0 + n0
             copy(w0, o_ref.at[pl.ds(dst, _G), pl.ds(_G1, n1), pl.ds(_L, n2)])
 
         # -- dim 1 (from columns incl. fresh dim-0 ghosts) ---------------------
@@ -365,19 +374,19 @@ def _make_band_kernel(B0, B1, B2, grid_dims, shape, spacing, term_specs,
 
         def dma_in(slot, i2, j2, k2):
             return pltpu.make_async_copy(
-                q_hbm.at[pl.ds(i2 * B0, S0), pl.ds(j2 * B1, S1),
+                q_hbm.at[pl.ds(i2 * B0 + _G0 - _G, S0), pl.ds(j2 * B1, S1),
                          pl.ds(k2 * B2, S2)],
                 slab.at[slot], isem.at[slot])
 
         def dma_mask(slot, i2, j2, k2):
             return pltpu.make_async_copy(
-                cmask_hbm.at[pl.ds(i2 * B0, B0), pl.ds(j2 * B1, B1),
-                             pl.ds(k2 * B2, B2)],
+                cmask_hbm.at[pl.ds(_G0 + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
+                             pl.ds(_L + k2 * B2, B2)],
                 mbuf.at[slot], msem.at[slot])
 
         def dma_aux(slot, i2, j2, k2):
             return pltpu.make_async_copy(
-                a_hbm.at[pl.ds(_G + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
+                a_hbm.at[pl.ds(_G0 + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
                          pl.ds(_L + k2 * B2, B2)],
                 abuf.at[slot], asem.at[slot])
 
@@ -390,7 +399,7 @@ def _make_band_kernel(B0, B1, B2, grid_dims, shape, spacing, term_specs,
         def dma_out(slot, i2, j2, k2):
             return pltpu.make_async_copy(
                 obuf.at[slot],
-                out_hbm.at[pl.ds(_G + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
+                out_hbm.at[pl.ds(_G0 + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
                            pl.ds(_L + k2 * B2, B2)],
                 osem.at[slot])
 
@@ -544,10 +553,12 @@ def band_stage(
     if n0 % B0 or n1 % B1 or n2 % B2 or B1 % 8 or B2 % 128:
         raise ValueError(f"band tiles {tiles} do not divide/align {shape}")
     dtype = padded.dtype
-    if compute_mask.dtype == jnp.bool_:
-        # Mosaic rejects bool-dtype DMAs; hot callers (FusedBandStepper) keep
-        # the mask in phi's dtype across steps so this densify never runs there
-        compute_mask = compute_mask.astype(dtype)
+    if compute_mask.shape == tuple(shape):
+        # interior-layout mask (tests/direct callers): densify + pad. Hot
+        # callers (FusedBandStepper) keep the mask in the padded layout and
+        # phi's dtype across steps (Mosaic rejects bool-dtype DMAs), so this
+        # never runs per stage there.
+        compute_mask = pack_band_mask(compute_mask != 0, dtype)
     grid_dims = (n0 // B0, n1 // B1, n2 // B2)
     capacity = int(ids.shape[0])
     with_aux = aux_padded is not None
@@ -637,6 +648,8 @@ def band_stage_reference(
         P2, term_specs_and_streams, coeffs, t, A2, bcs, spacing, shape, lo
     )
     B0, B1, B2 = tiles
+    if compute_mask.shape != tuple(shape):  # padded-layout mask
+        compute_mask = unpack_band_padded(compute_mask, shape)
     cm = compute_mask != 0 if compute_mask.dtype != jnp.bool_ else compute_mask
     act = tile_activity(cm, tiles)
     act_cells = jnp.repeat(jnp.repeat(jnp.repeat(
@@ -647,4 +660,4 @@ def band_stage_reference(
     new_interior = jnp.where(
         write, dense, jnp.where(keep_prev, interior_prev, out_interior)
     )
-    return out_init.at[_G:_G + n0, _G1:_G1 + n1, _L:_L + n2].set(new_interior)
+    return out_init.at[_G0:_G0 + n0, _G1:_G1 + n1, _L:_L + n2].set(new_interior)
