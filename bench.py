@@ -152,21 +152,27 @@ def _run_band(lsm, n, steps, dev):
         raise RuntimeError("band stepper does not support the bench config")
     from functools import partial
 
-    stepper = FusedBandStepper((term,), nb, lsm.ForwardEuler())
+    retube_every = int(os.environ.get("BENCH_RETUBE_EVERY", "1"))
+    stepper = FusedBandStepper((term,), nb, lsm.ForwardEuler(),
+                               retube_every=retube_every)
     dt = jnp.float32(0.25 * grid.min_spacing)
     state = stepper.pack(nb)
     band_cells = int(jax.device_get(jnp.sum(state.cmask != 0)))
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def one_step(state, t):
-        return stepper._step_impl(state, t, dt), t + dt
+    from functools import partial as _p
+
+    @_p(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
+    def one_step(state, t, retube):
+        return stepper._step_impl(state, t, dt, retube), t + dt
 
     t = jnp.float32(0.0)
-    state, t = one_step(state, t)  # warm-up / compile
+    state, t = one_step(state, t, True)  # warm-up / compile
+    if retube_every > 1:
+        state, t = one_step(state, t, False)
     jax.block_until_ready(state)
     t0 = time.perf_counter()
     for k in range(steps):
-        state, t = one_step(state, t)
+        state, t = one_step(state, t, (k + 1) % retube_every == 0)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
     if stepper.overflowed(state):
@@ -175,7 +181,8 @@ def _run_band(lsm, n, steps, dev):
     roofline = _hbm_bw(dev) / 20.0
     return {
         "metric": f"band cell updates/sec/chip ({n}^3 sphere narrow band, "
-                  f"WENO5 advection, {dev.device_kind}, active-tile path)",
+                  f"WENO5 advection, {dev.device_kind}, active-tile path, "
+                  f"retube_every={retube_every})",
         "value": rate,
         "unit": "cell-updates/s",
         "vs_baseline": rate / roofline,

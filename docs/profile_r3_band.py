@@ -63,6 +63,7 @@ timeit("band_mask_from_values (cut+stamp+dilate3)",
 timeit("l1_dilate(mask, 3) (compute mask)", lambda m: l1_dilate(m, 3), mask)
 timeit("cmask astype f32", lambda m: m.astype(jnp.float32), mask)
 timeit("active_tile_ids", lambda c: bp.active_tile_ids(
-    c, stepper.tiles, stepper.capacity), cmask_f)
+    bp.unpack_band_padded(c, shape) != 0, stepper.tiles, stepper.capacity),
+    cmask_f)
 timeit("FULL step (jitted _step_impl)",
        lambda s: stepper._step_impl(s, jnp.float32(0.0), dt), state)

@@ -39,25 +39,54 @@ import jax.numpy as jnp
 from .bc import Periodic, normalize_bcs
 from .field import MeshField
 
-__all__ = ["NarrowBandField", "l1_dilate", "cut_cell_mask"]
+__all__ = ["NarrowBandField", "box_dilate", "l1_dilate", "cut_cell_mask"]
 
 
-def _cross_dilate_once(mask: jnp.ndarray) -> jnp.ndarray:
-    """One step of L1 (cross-shaped) boolean dilation, zero-flux at the borders."""
-    out = mask
+def _shift(mask: jnp.ndarray, s: int, ax: int) -> jnp.ndarray:
+    """``out[i] = mask[i + s]`` along ``ax``, zero-filled at the edge."""
+    n = mask.shape[ax]
+    pad = [(0, 0)] * mask.ndim
+    if s > 0:
+        pad[ax] = (0, s)
+        return jnp.pad(jax.lax.slice_in_dim(mask, s, n, axis=ax), pad)
+    pad[ax] = (-s, 0)
+    return jnp.pad(jax.lax.slice_in_dim(mask, 0, n + s, axis=ax), pad)
+
+
+def box_dilate(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Dilate a boolean mask by the L-inf ball (box) of ``radius``, zero-flux
+    at the borders.
+
+    TPU-native divergence from the reference: ``update_band!`` grows the band
+    by an L1 ball (``meshfield.jl:562-578``); a box is separable per axis and
+    needs only O(log radius) shift-ORs per axis on a vector machine, where
+    iterated cross dilation costs O(radius) passes. The box contains the L1
+    ball, the per-axis reach (and hence every halo-width argument) is
+    identical, and the band is only marginally larger near high-curvature
+    corners — strictly more conservative, never less safe.
+    """
+    if radius == 0:
+        return mask
     for ax in range(mask.ndim):
-        p = jnp.pad(mask, [(1, 1) if d == ax else (0, 0) for d in range(mask.ndim)])
-        n = mask.shape[ax]
-        lo = jax.lax.slice_in_dim(p, 0, n, axis=ax)
-        hi = jax.lax.slice_in_dim(p, 2, n + 2, axis=ax)
-        out = out | lo | hi
-    return out
+        # grow the one-sided window [0, c-1] by doubling, then symmetrize
+        c = 1
+        while c < radius + 1:
+            s = min(c, radius + 1 - c)
+            mask = mask | _shift(mask, s, ax)
+            c += s
+        mask = mask | _shift(mask, -radius, ax)
+    return mask
 
 
 def l1_dilate(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Dilate a boolean mask by an L1 ball of ``radius`` (iterated cross dilation)."""
+    """Dilate a boolean mask by an L1 ball of ``radius`` (iterated cross
+    dilation, the reference's ``grow`` stencil). The band machinery itself
+    uses :func:`box_dilate`; this form is kept for exact-L1 consumers."""
     for _ in range(radius):
-        mask = _cross_dilate_once(mask)
+        out = mask
+        for ax in range(mask.ndim):
+            out = out | _shift(mask, 1, ax) | _shift(mask, -1, ax)
+        mask = out
     return mask
 
 
@@ -73,44 +102,50 @@ def _corners(ndim: int):
     return list(itertools.product((0, 1), repeat=ndim))
 
 
+def _corner_reduce(x: jnp.ndarray, op) -> jnp.ndarray:
+    """Separable reduction of a node array over the 2^N corners of each cell
+    (``op`` = OR for "any corner", AND for "all corners")."""
+    for ax in range(x.ndim):
+        n = x.shape[ax]
+        x = op(jax.lax.slice_in_dim(x, 0, n - 1, axis=ax),
+               jax.lax.slice_in_dim(x, 1, n, axis=ax))
+    return x
+
+
 def cut_cell_mask(values: jnp.ndarray, node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Cells whose corner values straddle zero (``vmin <= 0 <= vmax``); when
+    """Cells whose corner values straddle zero (``vmin <= 0 <= vmax``,
+    equivalently any-corner-nonpositive AND any-corner-nonnegative); when
     ``node_mask`` is given, only cells with all corners active count
     (``meshfield.jl:567-575``)."""
-    ndim = values.ndim
-    cs = _corners(ndim)
-    vmin = _corner_slices(values, cs[0])
-    vmax = vmin
-    for c in cs[1:]:
-        v = _corner_slices(values, c)
-        vmin = jnp.minimum(vmin, v)
-        vmax = jnp.maximum(vmax, v)
-    cut = (vmin <= 0) & (vmax >= 0)
+    import operator
+
+    cut = _corner_reduce(values <= 0, operator.or_) & _corner_reduce(
+        values >= 0, operator.or_)
     if node_mask is not None:
-        allactive = _corner_slices(node_mask, cs[0])
-        for c in cs[1:]:
-            allactive = allactive & _corner_slices(node_mask, c)
-        cut = cut & allactive
+        cut = cut & _corner_reduce(node_mask, operator.and_)
     return cut
 
 
 def _stamp_corners(cell_mask: jnp.ndarray) -> jnp.ndarray:
-    """Node mask marking every corner of the marked cells."""
-    node_shape = tuple(n + 1 for n in cell_mask.shape)
-    out = jnp.zeros(node_shape, dtype=bool)
-    for c in _corners(cell_mask.ndim):
-        idx = tuple(slice(ci, ci + n) for ci, n in zip(c, cell_mask.shape))
-        out = out.at[idx].max(cell_mask)
-    return out
+    """Node mask marking every corner of the marked cells (separable
+    shifted-OR — the 2^N scatter form costs a full pass per corner)."""
+    m = cell_mask
+    for ax in range(cell_mask.ndim):
+        pad = [(0, 0)] * m.ndim
+        pad[ax] = (0, 1)
+        m = jnp.pad(m, pad)  # cell c contributes to nodes c and c+1
+        m = m | _shift(m, -1, ax)
+    return m
 
 
 def band_mask_from_values(
     values: jnp.ndarray, nlayers: int, node_mask: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
-    """Active mask: corners of cut cells dilated by an L1 ball of ``nlayers``."""
+    """Active mask: corners of cut cells dilated by a box of ``nlayers``
+    (see :func:`box_dilate` for the L1-vs-box design note)."""
     cut = cut_cell_mask(values, node_mask)
     seed = _stamp_corners(cut)
-    return l1_dilate(seed, nlayers)
+    return box_dilate(seed, nlayers)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -140,7 +175,7 @@ class NarrowBandField(MeshField):
         # compute mask cached alongside the band mask: it is a pure function of
         # `mask`, and `with_values` preserves the mask, so carrying it avoids
         # re-running the 3-deep dilation at every RK stage (VERDICT r1 weak #6)
-        self._cmask = l1_dilate(mask, self.COMPUTE_HALO) if _cmask is None else _cmask
+        self._cmask = box_dilate(mask, self.COMPUTE_HALO) if _cmask is None else _cmask
 
     @staticmethod
     def from_field(phi: MeshField, nlayers: int = 3) -> "NarrowBandField":

@@ -254,7 +254,14 @@ class LevelSetEquation:
                     "(check for NaN/Inf in velocity or speed)"
                 )
             dt = min(dt_max, alpha * cfl_dt, tf - self.t)
-            state = stepper.step(state, self.t, dt)
+            if band:
+                # honor the stepper's re-tube cadence, but always re-tube on
+                # the step that lands on tf so unpack() sees current masks
+                retube = ((nsteps + 1) % stepper.retube_every == 0
+                          or self.t + dt > tf - eps)
+                state = stepper.step(state, self.t, dt, retube)
+            else:
+                state = stepper.step(state, self.t, dt)
             self.t += dt
             nsteps += 1
         if band:

@@ -25,7 +25,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.narrowband import NarrowBandField, band_mask_from_values, l1_dilate
+from ..core.narrowband import NarrowBandField, band_mask_from_values, box_dilate
 from ..ops import band_pallas as bp
 from .explicit import RK2, RK3, ForwardEuler, TimeIntegrator
 from .fused import _term_spec
@@ -86,11 +86,28 @@ class FusedBandStepper:
     def __init__(self, terms, nb: NarrowBandField, integrator: TimeIntegrator,
                  tiles: Optional[Tuple[int, int, int]] = None,
                  capacity: Optional[int] = None, slack: float = 1.5,
-                 interpret: bool = False):
+                 retube_every: int = 1, interpret: bool = False):
         if not isinstance(terms, (tuple, list)):
             terms = (terms,)
         if not supports_band_fused(terms, nb):
             raise ValueError("configuration not supported by the band stepper")
+        # Re-tube cadence. The CFL condition bounds the interface speed by
+        # ``cfl`` cells per accepted step, and the compute band reaches
+        # ``COMPUTE_HALO`` cells beyond the active band (cut cells + nlayers),
+        # so every cell within stencil reach of the interface stays inside the
+        # *stale* compute band for ``COMPUTE_HALO / cfl`` steps — skipping the
+        # O(grid) re-tube between those steps changes which far-from-interface
+        # cells are frozen, never the near-interface evolution. (The reference
+        # re-tubes every step, ``timestepping.jl:115``; ``retube_every=1``
+        # reproduces that exactly and is the default.)
+        max_skip = max(1, int(NarrowBandField.COMPUTE_HALO / integrator.cfl))
+        if not 1 <= retube_every <= max_skip:
+            raise ValueError(
+                f"retube_every={retube_every} outside the safe range "
+                f"[1, {max_skip}] for cfl={integrator.cfl} "
+                f"(interface may outrun the stale compute band)"
+            )
+        self.retube_every = int(retube_every)
         self.shape = tuple(nb.shape)
         self.bcs = nb.bcs
         self.terms = tuple(terms)
@@ -116,7 +133,8 @@ class FusedBandStepper:
             self._table = "fe"
         else:
             raise ValueError(f"unsupported integrator {integrator!r}")
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,),
+                             static_argnums=(3,))
         self._cfl = jax.jit(self._cfl_impl)
 
     # -- layout -----------------------------------------------------------------
@@ -152,17 +170,17 @@ class FusedBandStepper:
     # -- stepping ---------------------------------------------------------------
 
     def _stage(self, src, dst, ids, cmask, coeffs, t_stage, aux):
-        out = bp.band_stage(
+        # differentiable composite: Pallas active-tile stage + in-place
+        # Pallas shell refresh forward (XLA's .at[].set costs a full pass
+        # over the band buffer PER SHELL — docs/perf-notes.md), custom VJP
+        # backward
+        return bp.band_step_stage(
             src, dst, ids, cmask, self.specs, coeffs, t_stage, aux,
             self.bcs, self.spacing, self.shape, self.lo, self.tiles,
             interpret=self.interpret,
         )
-        # in-place Pallas shell refresh (XLA's .at[].set costs a full pass
-        # over the ~840 MB band buffer PER SHELL at 512^3 — docs/perf-notes.md)
-        return bp.refresh_band_ghosts_fast(
-            out, self.bcs, self.shape, interpret=self.interpret)
 
-    def _step_impl(self, state: BandState, t, dt):
+    def _step_impl(self, state: BandState, t, dt, retube: bool = True):
         A, B, C = state.bufs
         ids, cmask = state.ids, state.cmask
         t = jnp.asarray(t, A.dtype)
@@ -184,17 +202,22 @@ class FusedBandStepper:
             )
             cur, s1, s2 = B, A, C
 
+        if not retube:  # cadence-skipped step: masks/dispatch stay as-is
+            return BandState((cur, s1, s2), state.mask, cmask, ids, state.count)
+
         # re-tube (update_band! semantics) + rebuild the dispatch list
         values = bp.unpack_band_padded(cur, self.shape)
         mask = band_mask_from_values(values, self.nlayers, state.mask)
-        cmask = l1_dilate(mask, NarrowBandField.COMPUTE_HALO)
+        cmask = box_dilate(mask, NarrowBandField.COMPUTE_HALO)
         ids, count = bp.active_tile_ids(cmask, self.tiles, self.capacity)
         return BandState(
             (cur, s1, s2), mask, bp.pack_band_mask(cmask, A.dtype), ids, count)
 
-    def step(self, state: BandState, t, dt) -> BandState:
-        """One accepted step (jitted; donates ``state``)."""
-        return self._step(state, t, dt)
+    def step(self, state: BandState, t, dt, retube: bool = True) -> BandState:
+        """One accepted step (jitted; donates ``state``). ``retube=False``
+        skips the O(grid) re-tube — valid only within the ``retube_every``
+        cadence (see the constructor note on the CFL safety bound)."""
+        return self._step(state, t, dt, retube)
 
     # -- adaptive CFL + overflow recovery -----------------------------------------
 

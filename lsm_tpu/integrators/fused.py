@@ -126,15 +126,13 @@ class FusedStepper:
     # -- stepping ---------------------------------------------------------------
 
     def _stage(self, P, coeffs, t_stage, aux):
-        out = v2.fused_stage(
+        # differentiable composite: Pallas stage + in-place Pallas shell
+        # refresh forward (the XLA .at[].set refresh costs a full-buffer pass
+        # PER SHELL — docs/profile_r3_parts.py), custom VJP backward
+        return v2.fused_step_stage(
             P, self.specs, coeffs, t_stage, aux, self.bcs, self.spacing,
             self.shape, self.lo, tiles=self.tiles, interpret=self.interpret,
         )
-        # in-place Pallas shell refresh: the XLA .at[].set version costs a
-        # full-buffer pass PER SHELL (~6.8 ms of the 17 ms step at 512^3,
-        # docs/profile_r3_parts.py)
-        return v2.refresh_ghosts_fast(
-            out, self.bcs, self.shape, interpret=self.interpret)
 
     def _step_impl(self, P, t, dt):
         t = jnp.asarray(t, P.dtype)

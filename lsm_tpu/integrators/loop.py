@@ -86,7 +86,66 @@ def evolve(
     return phi, terms, t, n
 
 
-@partial(jax.jit, static_argnames=("integrator", "nsteps", "unroll"))
+def _fused_rollout(integrator, terms, phi, t0, dt, nsteps, unroll, fast):
+    """Scan over the fused Pallas steppers when the configuration qualifies
+    (their stages carry custom VJPs, so the rollout stays differentiable).
+    Returns ``None`` when not applicable."""
+    from ..core.narrowband import NarrowBandField
+    from .band_fused import FusedBandStepper, supports_band_fused
+    from .fused import FusedStepper, supports_fused
+
+    interpret = fast == "interpret"
+    if not interpret and jax.default_backend() in ("cpu", "interpreter"):
+        return None
+    if not isinstance(integrator, TimeIntegrator):
+        return None
+    dtype = phi.dtype
+    dt = jnp.asarray(dt, dtype)
+    t0 = jnp.asarray(t0, dtype)
+    if isinstance(phi, NarrowBandField):
+        if not supports_band_fused(terms, phi):
+            return None
+        # capacity = all tiles: static (rollout may be traced under jax.grad,
+        # where counting active tiles is impossible); sentinel programs are
+        # cheap relative to the differentiable use case
+        stepper = FusedBandStepper(
+            terms, phi, integrator, capacity=_total_tiles(phi.shape),
+            interpret=interpret)
+        state = stepper.pack(phi)
+
+        def body(carry, _):
+            state, t = carry
+            state = stepper._step_impl(state, t, dt)
+            return (state, t + dt), None
+
+        (state, _), _ = jax.lax.scan(body, (state, t0), None, length=nsteps,
+                                     unroll=unroll)
+        return stepper.unpack(state), terms
+    if supports_fused(terms, phi):
+        stepper = FusedStepper(terms, phi, integrator, interpret=interpret)
+        P = stepper.pack(phi.values)
+
+        def body(carry, _):
+            P, t = carry
+            P = stepper._step_impl(P, t, dt)
+            return (P, t + dt), None
+
+        (P, _), _ = jax.lax.scan(body, (P, t0), None, length=nsteps,
+                                 unroll=unroll)
+        return phi.with_values(stepper.unpack(P)), terms
+    return None
+
+
+def _total_tiles(shape):
+    from .band_fused import _default_tiles
+
+    total = 1
+    for n, b in zip(shape, _default_tiles(tuple(shape))):
+        total *= n // b
+    return total
+
+
+@partial(jax.jit, static_argnames=("integrator", "nsteps", "unroll", "fast"))
 def rollout(
     integrator: TimeIntegrator,
     terms,
@@ -95,13 +154,24 @@ def rollout(
     dt,
     nsteps: int,
     unroll: int = 1,
+    fast: str = "auto",
 ):
     """Fixed-step differentiable rollout: ``nsteps`` steps of size ``dt`` under
     ``lax.scan``. Returns ``(phi, terms)`` at ``t0 + nsteps * dt``.
 
+    ``fast`` selects the execution path exactly as in
+    :meth:`lsm_tpu.equation.LevelSetEquation.integrate`: ``"auto"`` scans the
+    fused Pallas steppers (custom-VJP stages — still differentiable) whenever
+    the configuration qualifies on a compiled backend; ``"off"`` forces the
+    generic path; ``"interpret"`` forces the fused path in interpret mode.
+
     Use :func:`jax.checkpoint` around the caller (or small ``nsteps`` blocks) to
     trade recompute for memory on long horizons.
     """
+    if fast != "off":
+        out = _fused_rollout(integrator, terms, phi, t0, dt, nsteps, unroll, fast)
+        if out is not None:
+            return out
     dtype = phi.dtype
     dt = jnp.asarray(dt, dtype)
 

@@ -624,6 +624,98 @@ def band_stage(
     )(ids, *args)
 
 
+# -- differentiable composite stage -------------------------------------------------
+
+
+def _band_stage_refresh_jnp(padded, out_init, ids, cmask, streams_flat,
+                            coeffs, t, aux, specs, stream_counts, bcs,
+                            spacing, shape, lo, tiles):
+    it = iter(streams_flat)
+    sas = tuple(
+        (spec, tuple(next(it) for _ in range(k)))
+        for spec, k in zip(specs, stream_counts)
+    )
+    out = band_stage_reference(padded, out_init, ids, cmask, sas, coeffs, t,
+                               aux, bcs, spacing, shape, lo, tiles)
+    return refresh_band_ghosts(out, bcs, shape)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _band_step_stage_p(padded, out_init, ids, cmask, streams_flat, coeffs, t,
+                       aux, statics):
+    specs, stream_counts, bcs, spacing, shape, lo, tiles, interpret = statics
+    it = iter(streams_flat)
+    sas = tuple(
+        (spec, tuple(next(it) for _ in range(k)))
+        for spec, k in zip(specs, stream_counts)
+    )
+    out = band_stage(padded, out_init, ids, cmask, sas, coeffs, t, aux, bcs,
+                     spacing, shape, lo, tiles, interpret=interpret)
+    return refresh_band_ghosts_fast(out, bcs, shape, interpret=interpret)
+
+
+def _bss_fwd(padded, out_init, ids, cmask, streams_flat, coeffs, t, aux,
+             statics):
+    out = _band_step_stage_p(padded, out_init, ids, cmask, streams_flat,
+                             coeffs, t, aux, statics)
+    return out, (padded, out_init, ids, cmask, streams_flat, coeffs, t, aux)
+
+
+def _bss_bwd(statics, res, g):
+    import numpy as np
+
+    padded, out_init, ids, cmask, streams_flat, coeffs, t, aux = res
+    specs, stream_counts, bcs, spacing, shape, lo, tiles, _ = statics
+
+    if aux is None:
+        def f(p, oi, s, c, tt):
+            return _band_stage_refresh_jnp(
+                p, oi, ids, cmask, s, c, tt, None, specs, stream_counts,
+                bcs, spacing, shape, lo, tiles)
+
+        _, vjp = jax.vjp(f, padded, out_init, streams_flat, coeffs, t)
+        dp, doi, ds, dc, dt_ = vjp(g)
+        da = None
+    else:
+        def f(p, oi, s, c, tt, a):
+            return _band_stage_refresh_jnp(
+                p, oi, ids, cmask, s, c, tt, a, specs, stream_counts,
+                bcs, spacing, shape, lo, tiles)
+
+        _, vjp = jax.vjp(f, padded, out_init, streams_flat, coeffs, t, aux)
+        dp, doi, ds, dc, dt_, da = vjp(g)
+    d_ids = np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    d_cmask = jnp.zeros_like(cmask)
+    return dp, doi, d_ids, d_cmask, ds, dc, dt_, da
+
+
+_band_step_stage_p.defvjp(_bss_fwd, _bss_bwd)
+
+
+def band_step_stage(padded, out_init, ids, cmask, term_specs_and_streams,
+                    coeffs, t, aux, bcs, spacing, shape, lo, tiles,
+                    interpret=False):
+    """Active-tile RK stage + in-place ghost refresh, DIFFERENTIABLE.
+
+    Forward runs the Pallas kernels; backward is the VJP of the jnp band
+    composite recomputed from primals. The dispatch list and compute mask are
+    constants of the differentiation (zero cotangent) — matching the dense
+    band path, whose ``where``-masking likewise has zero mask gradients.
+    """
+    specs = tuple(s for s, _ in term_specs_and_streams)
+    streams_flat = tuple(a for _, arrs in term_specs_and_streams for a in arrs)
+    stream_counts = tuple(len(arrs) for _, arrs in term_specs_and_streams)
+    coeffs = tuple(jnp.asarray(c, padded.dtype) for c in coeffs)
+    statics = (specs, stream_counts, bcs, tuple(spacing), tuple(shape),
+               tuple(lo), tuple(tiles), interpret)
+    return _band_step_stage_p(padded, out_init, ids, cmask, streams_flat,
+                              coeffs, jnp.asarray(t, padded.dtype), aux,
+                              statics)
+
+
 # -- jnp reference (oracle) ---------------------------------------------------------
 
 

@@ -698,6 +698,91 @@ def fused_stage(
     )(*args)
 
 
+# -- differentiable composite stage -------------------------------------------------
+
+
+def _stage_refresh_jnp(P, streams_flat, coeffs, t, aux, specs, stream_counts,
+                       bcs, spacing, shape, lo):
+    """Pure-jnp (stage + ghost refresh) on the padded layout: the padded
+    output equals the Pallas composite everywhere that is ever read
+    (interior + ghost shells; junk is zero here, garbage there)."""
+    it = iter(streams_flat)
+    sas = tuple(
+        (spec, tuple(next(it) for _ in range(k)))
+        for spec, k in zip(specs, stream_counts)
+    )
+    interior = stage_reference(P, sas, coeffs, t, aux, bcs, spacing, shape, lo)
+    return pack_padded(interior, bcs)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_step_stage_p(P, streams_flat, coeffs, t, aux, statics):
+    specs, stream_counts, bcs, spacing, shape, lo, tiles, interpret = statics
+    it = iter(streams_flat)
+    sas = tuple(
+        (spec, tuple(next(it) for _ in range(k)))
+        for spec, k in zip(specs, stream_counts)
+    )
+    out = fused_stage(P, sas, coeffs, t, aux, bcs, spacing, shape, lo,
+                      tiles=tiles, interpret=interpret)
+    return refresh_ghosts_fast(out, bcs, shape, interpret=interpret)
+
+
+def _fss_fwd(P, streams_flat, coeffs, t, aux, statics):
+    return _fused_step_stage_p(P, streams_flat, coeffs, t, aux, statics), (
+        P, streams_flat, coeffs, t, aux)
+
+
+def _fss_bwd(statics, res, g):
+    P, streams_flat, coeffs, t, aux = res
+    specs, stream_counts, bcs, spacing, shape, lo, _, _ = statics
+
+    # recompute-from-primals VJP of the jnp composite (the standard stencil
+    # trade: residuals would cost more HBM than the recompute)
+    if aux is None:
+        def f(p, s, c, tt):
+            return _stage_refresh_jnp(p, s, c, tt, None, specs, stream_counts,
+                                      bcs, spacing, shape, lo)
+
+        _, vjp = jax.vjp(f, P, streams_flat, coeffs, t)
+        dP, ds, dc, dt_ = vjp(g)
+        da = None
+    else:
+        def f(p, s, c, tt, a):
+            return _stage_refresh_jnp(p, s, c, tt, a, specs, stream_counts,
+                                      bcs, spacing, shape, lo)
+
+        _, vjp = jax.vjp(f, P, streams_flat, coeffs, t, aux)
+        dP, ds, dc, dt_, da = vjp(g)
+    return dP, ds, dc, dt_, da
+
+
+_fused_step_stage_p.defvjp(_fss_fwd, _fss_bwd)
+
+
+def fused_step_stage(P, term_specs_and_streams, coeffs, t, aux, bcs, spacing,
+                     shape, lo, tiles=None, interpret=False):
+    """One fused RK stage + in-place ghost refresh, DIFFERENTIABLE.
+
+    Forward runs the Pallas kernels; backward is the VJP of the identical
+    jnp composite recomputed from the saved primals. Gradients flow to the
+    padded state, streamed coefficient arrays, the RK coefficients/time, and
+    the ``aux`` buffer. Reference has no gradients at all — this is the
+    north-star differentiable path on the fast layout.
+    """
+    specs = tuple(s for s, _ in term_specs_and_streams)
+    streams_flat = tuple(a for _, arrs in term_specs_and_streams for a in arrs)
+    stream_counts = tuple(len(arrs) for _, arrs in term_specs_and_streams)
+    coeffs = tuple(jnp.asarray(c, P.dtype) for c in coeffs)
+    statics = (specs, stream_counts, bcs, tuple(spacing), tuple(shape),
+               tuple(lo), tiles, interpret)
+    return _fused_step_stage_p(P, streams_flat, coeffs,
+                               jnp.asarray(t, P.dtype), aux, statics)
+
+
 # -- jnp reference (oracle) ---------------------------------------------------------
 
 

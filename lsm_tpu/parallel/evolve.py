@@ -33,7 +33,7 @@ from ..core.narrowband import (
     NarrowBandField,
     _stamp_corners,
     cut_cell_mask,
-    l1_dilate,
+    box_dilate,
 )
 from ..terms.terms import compute_cfl, update_terms
 from .halo import HaloField, halo_pad_axis, _leaf_spec, _ring_perm
@@ -91,7 +91,7 @@ def sharded_band_mask(values, mask, nlayers, shard_axes, axis_sizes):
         m_ext = _exchange_pad(mask, shard_axes, axis_sizes, w, False)
         node_mask = node_mask & m_ext
     cut = cut_cell_mask(v_ext, node_mask)
-    m = l1_dilate(_stamp_corners(cut), nlayers)
+    m = box_dilate(_stamp_corners(cut), nlayers)
     crop = tuple(slice(w, w + n) for n in values.shape)
     return m[crop]
 
@@ -160,7 +160,7 @@ class ShardedNarrowBandField(NarrowBandField):
         )
         w = self.COMPUTE_HALO
         cm_ext = _exchange_pad(new_mask, self.shard_axes, self.axis_sizes, w, False)
-        cmask = l1_dilate(cm_ext, w)[
+        cmask = box_dilate(cm_ext, w)[
             tuple(slice(w, w + n) for n in new_mask.shape)
         ]
         return ShardedNarrowBandField(
@@ -218,7 +218,7 @@ def make_sharded_evolve(
                     mask = sharded_band_mask(values, None, nlayers, shard_axes, axis_sizes)
                     w = NarrowBandField.COMPUTE_HALO
                     cm_ext = _exchange_pad(mask, shard_axes, axis_sizes, w, False)
-                    cmask = l1_dilate(cm_ext, w)[
+                    cmask = box_dilate(cm_ext, w)[
                         tuple(slice(w, w + n) for n in mask.shape)]
                 else:
                     values, mask, cmask = leaves

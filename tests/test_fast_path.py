@@ -138,3 +138,44 @@ def test_integrate_regrows_band_through_public_api():
     np.testing.assert_allclose(
         np.asarray(eq.current_state.values),
         np.asarray(eq_ref.current_state.values), rtol=1e-10, atol=1e-12)
+
+
+def test_retube_cadence_matches_dense_near_interface():
+    """Skipping the O(grid) re-tube within the CFL safety budget must not
+    change the near-interface evolution (reference-style band-vs-dense
+    oracle, test/test-levelsetequation.jl:144-154)."""
+    grid, phi = _dense_setup()
+    nb = NarrowBandField.from_field(phi, nlayers=4)
+    term = lsm.AdvectionTerm(_vel3)
+    dt = jnp.asarray(0.25 * grid.min_spacing, nb.dtype)
+
+    stepper = FusedBandStepper((term,), nb, lsm.RK3(), retube_every=3,
+                               interpret=True)
+    state = stepper.pack(nb)
+    for k in range(6):
+        state = stepper.step(state, k * dt, dt, retube=(k + 1) % 3 == 0)
+    got = stepper.unpack(state)
+
+    from lsm_tpu.integrators import loop as _loop
+
+    ref = nb
+    for k in range(6):
+        ref, _ = _loop.step(lsm.RK3(), (term,), ref, float(k * dt), float(dt))
+        ref = ref.update_band()
+
+    gv = np.asarray(got.values)
+    rv = np.asarray(ref.values)
+    near = np.abs(rv) < 4 * float(grid.min_spacing)
+    assert np.abs(gv - rv)[near].max() < 1e-12  # near-interface: identical
+    # masks may lag by up to retube_every-1 steps of interface motion; the
+    # final step re-tubed, so they must agree again
+    assert np.array_equal(np.asarray(got.active_mask), np.asarray(ref.active_mask))
+
+
+def test_retube_every_validation():
+    grid, phi = _dense_setup()
+    nb = NarrowBandField.from_field(phi, nlayers=4)
+    term = lsm.AdvectionTerm(_vel3)
+    with pytest.raises(ValueError, match="retube_every"):
+        FusedBandStepper((term,), nb, lsm.RK3(), retube_every=100,
+                         interpret=True)
