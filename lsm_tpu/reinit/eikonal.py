@@ -33,6 +33,50 @@ from ..ops import stencils as st
 __all__ = ["reinitialize", "reinit_rhs"]
 
 
+def _axis_crossing_distance(p0, ax, h, g, shape, dtype):
+    """Per-node distances ``(s_m, s_p, cross_m, cross_p)`` to the zero
+    crossing of phi0 along ``ax`` on the backward/forward side.
+
+    Quadratic (ENO) interface location — Min, "On reinitializing level set
+    functions" (JCP 2010), eq. (13)-(14): with ``pxx = minmod(D2 phi0_i,
+    D2 phi0_{i+1})`` the crossing sits at
+
+        s+ = h (1/2 + (p_i - p_{i+1} - sgn(p_i - p_{i+1}) sqrt(disc)) / pxx),
+        disc = (pxx/2 - p_i - p_{i+1})^2 - 4 p_i p_{i+1},
+
+    falling back to the linear secant ``h p_i / (p_i - p_{i+1})`` where the
+    quadratic degenerates. O(h^3) interface location -> O(h^2) distances."""
+    n = len(shape)
+    c = st.shift(p0, (0,) * n, g, shape)
+    nb_p = st.shift(p0, tuple(1 if d == ax else 0 for d in range(n)), g, shape)
+    nb_m = st.shift(p0, tuple(-1 if d == ax else 0 for d in range(n)), g, shape)
+    d2 = st.d2c(p0, ax, h, g, shape) * (h * h)  # undivided second difference
+
+    def one_side(nb, d2nb):
+        cross = c * nb < 0
+        pxx = st.minmod(d2, d2nb)
+        denom_lin = c - nb
+        lin = h * c / jnp.where(denom_lin == 0, 1.0, denom_lin)
+        disc = (0.5 * pxx - c - nb) ** 2 - 4.0 * c * nb
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        quad = h * (0.5 + (c - nb - jnp.sign(c - nb) * sq)
+                    / jnp.where(pxx == 0, 1.0, pxx))
+        eps = jnp.asarray(100.0, dtype) * jnp.finfo(dtype).eps
+        s = jnp.where(jnp.abs(pxx) > eps, quad, lin)
+        # the crossing must lie strictly inside (0, h]
+        s = jnp.clip(s, eps * h, h)
+        return jnp.where(cross, s, h), cross
+
+    # undivided D2 at the neighbors i+1 / i-1 (reach 2: PAD_ENO2 suffices)
+    d2_pl = (st.shift(p0, tuple(2 if d == ax else 0 for d in range(n)), g, shape)
+             - 2.0 * nb_p + c)
+    d2_mi = (st.shift(p0, tuple(-2 if d == ax else 0 for d in range(n)), g, shape)
+             - 2.0 * nb_m + c)
+    s_p, cross_p = one_side(nb_p, d2_pl)
+    s_m, cross_m = one_side(nb_m, d2_mi)
+    return s_m, s_p, cross_m, cross_p
+
+
 def _subcell_distance(p0, spacing, g, shape):
     """Per-node signed distance estimate ``D = phi0 / |grad phi0|``.
 
@@ -85,15 +129,38 @@ def reinit_rhs(phi: MeshField, s0_values: jnp.ndarray) -> jnp.ndarray:
 def _reinitialize_impl(phi: MeshField, iters: int, cfl, subcell: bool, band_width):
     g = st.PAD_ENO2
     dx = phi.grid.min_spacing
-    dtau = cfl * dx
     dtype = phi.dtype
+    shape = tuple(phi.shape)
+    n = len(shape)
+    spacing = phi.spacing
 
     p0 = phi.pad(g)
     # frozen smoothed sign (O-F eq. 7.5)
     s0 = phi.values / jnp.sqrt(phi.values**2 + dx * dx)
-    iface = _interface_mask(p0, g, phi.shape)
-    D = _subcell_distance(p0, phi.spacing, g, phi.shape)
     sgn0 = jnp.sign(phi.values)
+
+    if subcell:
+        # second-order subcell fix (Min, JCP 2010): per-axis quadratic
+        # interface locations from phi0, frozen across the pseudo-time solve
+        geo = [
+            _axis_crossing_distance(p0, ax, h, g, shape, dtype)
+            for ax, h in enumerate(spacing)
+        ]
+        iface = jnp.zeros(shape, dtype=bool)
+        smin = jnp.full(shape, jnp.inf, dtype)
+        for s_m, s_p, cross_m, cross_p in geo:
+            iface = iface | cross_m | cross_p
+            smin = jnp.minimum(smin, jnp.where(cross_m, s_m, jnp.inf))
+            smin = jnp.minimum(smin, jnp.where(cross_p, s_p, jnp.inf))
+        # sign: exact at interface-adjacent nodes (the subcell stencils pin
+        # the contour), smoothed elsewhere
+        S = jnp.where(iface, sgn0, s0)
+        # local pseudo-time step: the 1/s stiffness of the subcell stencils
+        # demands dtau <= cfl * s at interface nodes
+        dtau = cfl * jnp.minimum(smin, dx)
+    else:
+        S = s0
+        dtau = cfl * dx
 
     if band_width is not None:
         # freeze nodes far outside the band: their value only needs the right sign
@@ -101,14 +168,38 @@ def _reinitialize_impl(phi: MeshField, iters: int, cfl, subcell: bool, band_widt
     else:
         active = None
 
+    def godunov_subcell(f):
+        p = f.pad(g)
+        c = f.values
+        gp2 = 0.0
+        gm2 = 0.0
+        for ax, h in enumerate(spacing):
+            A, B = st.eno2_onesided(p, ax, h, g, shape)
+            s_m, s_p, cross_m, cross_p = geo[ax]
+            # divided second derivatives of the CURRENT iterate at i, i+-1
+            d2c = st.d2c(p, ax, h, g, shape)
+            d2p = (st.shift(p, tuple(2 if d == ax else 0 for d in range(n)), g, shape)
+                   - 2.0 * st.shift(p, tuple(1 if d == ax else 0 for d in range(n)), g, shape)
+                   + c) / (h * h)
+            d2m = (st.shift(p, tuple(-2 if d == ax else 0 for d in range(n)), g, shape)
+                   - 2.0 * st.shift(p, tuple(-1 if d == ax else 0 for d in range(n)), g, shape)
+                   + c) / (h * h)
+            # Min eq. (23): one-sided differences toward the interface point
+            B_fix = (0.0 - c) / s_p - 0.5 * s_p * st.minmod(d2c, d2p)
+            A_fix = c / s_m + 0.5 * s_m * st.minmod(d2c, d2m)
+            A = jnp.where(cross_m, A_fix, A)
+            B = jnp.where(cross_p, B_fix, B)
+            gp2 = gp2 + jnp.maximum(A, 0.0) ** 2 + jnp.minimum(B, 0.0) ** 2
+            gm2 = gm2 + jnp.minimum(A, 0.0) ** 2 + jnp.maximum(B, 0.0) ** 2
+        return jnp.sqrt(gp2), jnp.sqrt(gm2)
+
     def body(_, f):
-        pde = f.values - dtau * reinit_rhs(f, s0)
         if subcell:
-            # Russo-Smereka: relax toward the subcell distance at interface nodes
-            sub = f.values - (dtau / dx) * (sgn0 * jnp.abs(f.values) - D)
-            new = jnp.where(iface, sub, pde)
+            grad_p, grad_m = godunov_subcell(f)
+            norm = jnp.where(S > 0, grad_p, grad_m)
+            new = f.values - dtau * S * (norm - 1.0)
         else:
-            new = pde
+            new = f.values - dtau * reinit_rhs(f, s0)
         if active is not None:
             new = jnp.where(active, new, f.values)
         return f.with_values(new.astype(dtype))

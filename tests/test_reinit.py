@@ -35,11 +35,12 @@ def test_reinit_2d_circle():
     X, Y = [np.asarray(c) for c in grid.dense_coords()]
     exact = np.sqrt(X**2 + Y**2) - 0.5
     err = np.abs(np.asarray(out.values) - exact)
-    # PDE reinit with subcell fix: O(h)-accurate globally on this distorted input
-    assert err.max() < 5e-2, err.max()
-    # near the interface the subcell fix pins the zero contour
+    # global error limited by the center kink; ~4e-3 measured at n=100
+    assert err.max() < 1e-2, err.max()
+    # near the interface the quadratic subcell fix (Min JCP 2010) pins the
+    # zero contour to O(h^2)-ish: ~9e-5 measured at n=100
     near = np.abs(exact) < 0.1
-    assert err[near].max() < 1e-2, err[near].max()
+    assert err[near].max() < 5e-4, err[near].max()
     # |grad phi| == 1 away from the center kink
     gn = np.asarray(grad_norm(out))
     r = np.sqrt(X**2 + Y**2)
@@ -59,7 +60,8 @@ def test_reinit_3d_sphere():
     exact = np.sqrt(X**2 + Y**2 + Z**2) - 0.45
     err = np.abs(np.asarray(out.values) - exact)
     near = np.abs(exact) < 0.15
-    assert err[near].max() < 2e-2, err[near].max()
+    # ~1.8e-3 measured at 31^3 with the quadratic subcell fix
+    assert err[near].max() < 5e-3, err[near].max()
 
 
 def test_reinit_h_convergence():
@@ -79,8 +81,9 @@ def test_reinit_h_convergence():
         err = np.abs(np.asarray(out.values) - exact)
         near = np.abs(exact) < 0.2
         errors.append(err[near].max())
-    # subcell-fixed PDE reinit: >= 1st order near the interface
-    assert min(convergence_orders(errors, ns)) >= 1.0, (errors,)
+    # quadratic subcell fix: measured orders ~1.5-1.8 near the interface
+    # (minmod limiting at curvature keeps it below clean 2nd order)
+    assert min(convergence_orders(errors, ns)) >= 1.3, (errors,)
 
 
 def test_reinit_band_width_freezes_far_field():
