@@ -45,15 +45,49 @@ class BandState(NamedTuple):
 
 
 def supports_band_fused(terms, nb) -> bool:
+    """3D lane-aligned bands natively; 2D bands via the constant dummy-axis
+    embedding (the 2D grid rides the 3D kernel as ``(1, n0, n1)`` — see
+    :meth:`FusedBandStepper` for why that is exact)."""
     if not isinstance(terms, (tuple, list)):
         terms = (terms,)
-    return (
-        isinstance(nb, NarrowBandField)
-        and len(nb.shape) == 3
-        and nb.shape[2] % 128 == 0
-        and nb.bcs is not None
-        and all(_term_spec(t, nb) is not None for t in terms)
-    )
+    if not (isinstance(nb, NarrowBandField) and nb.bcs is not None):
+        return False
+    if len(nb.shape) == 3:
+        ok_shape = nb.shape[2] % 128 == 0
+    elif len(nb.shape) == 2:
+        ok_shape = nb.shape[1] % 128 == 0
+    else:
+        return False
+    return ok_shape and all(_term_spec(t, nb) is not None for t in terms)
+
+
+def _embed_specs_2d(specs2, dtype):
+    """Adapt 2D term specs to the dummy-axis 3D embedding: analytic
+    coefficients ignore the dummy coordinate; the dummy velocity component is
+    zero; streamed arrays gain the leading length-1 axis."""
+    from ..ops.weno_v2 import TermSpec
+
+    out = []
+    for spec, arrs in specs2:
+        if spec.coef_kind == "analytic":
+            f2 = spec.coef_static
+            if spec.kind == "advection":
+                def f3(xs, t, _f=f2):
+                    u, v = _f((xs[1], xs[2]), t)
+                    return (0.0 * (xs[0] + xs[1] + xs[2]), u, v)
+            else:
+                def f3(xs, t, _f=f2):
+                    return _f((xs[1], xs[2]), t)
+            out.append((TermSpec(spec.kind, "analytic", f3, 0), ()))
+        elif spec.coef_kind == "stream":
+            arrs3 = tuple(a[None] for a in arrs)
+            if spec.kind == "advection":
+                arrs3 = (jnp.zeros_like(arrs3[0]),) + arrs3
+            out.append(
+                (TermSpec(spec.kind, "stream", None, len(arrs3)), arrs3))
+        else:
+            out.append((spec, arrs))
+    return tuple(out)
 
 
 def _default_tiles(shape) -> Tuple[int, int, int]:
@@ -108,18 +142,37 @@ class FusedBandStepper:
                 f"(interface may outrun the stale compute band)"
             )
         self.retube_every = int(retube_every)
-        self.shape = tuple(nb.shape)
-        self.bcs = nb.bcs
+        self.is2d = len(nb.shape) == 2
+        self.grid2 = nb.grid
+        self.bcs2 = nb.bcs
         self.terms = tuple(terms)
         self.integrator = integrator
         self.nlayers = nb.nlayers
-        self.spacing = tuple(float(h) for h in nb.grid.spacing)
-        self.lo = tuple(float(x) for x in nb.grid.lo)
-        self.tiles = tiles or _default_tiles(self.shape)
         self.interpret = interpret
-        self.specs = tuple(_term_spec(t, nb) for t in terms)
+        specs = tuple(_term_spec(t, nb) for t in terms)
+        if self.is2d:
+            # exact dummy-axis embedding: phi3(w, x, y) = phi2(x, y) extended
+            # constantly (Extrapolation(0) ghosts), so every axis-0 one-sided
+            # difference is exactly zero and each 3D Hamiltonian reduces to
+            # its 2D form (curvature included: the extruded direction
+            # contributes nothing to Delta/grad/Hessian quadratic form)
+            from ..core.bc import Extrapolation
+
+            self.shape = (1,) + tuple(nb.shape)
+            self.bcs = ((Extrapolation(0), Extrapolation(0)),) + tuple(nb.bcs)
+            self.spacing = (1.0,) + tuple(float(h) for h in nb.grid.spacing)
+            self.lo = (0.0,) + tuple(float(x) for x in nb.grid.lo)
+            self.specs = _embed_specs_2d(specs, nb.dtype)
+        else:
+            self.shape = tuple(nb.shape)
+            self.bcs = nb.bcs
+            self.spacing = tuple(float(h) for h in nb.grid.spacing)
+            self.lo = tuple(float(x) for x in nb.grid.lo)
+            self.specs = specs
+        self.tiles = tiles or _default_tiles(self.shape)
         if capacity is None:
-            n_active = int(bp.tile_activity(nb.compute_mask, self.tiles).sum())
+            cm = nb.compute_mask[None] if self.is2d else nb.compute_mask
+            n_active = int(bp.tile_activity(cm, self.tiles).sum())
             total = 1
             for n, b in zip(self.shape, self.tiles):
                 total *= n // b
@@ -140,29 +193,25 @@ class FusedBandStepper:
     # -- layout -----------------------------------------------------------------
 
     def pack(self, nb: NarrowBandField) -> BandState:
-        Q = bp.pack_band_padded(nb.values, self.bcs)
-        ids, count = bp.active_tile_ids(nb.compute_mask, self.tiles, self.capacity)
+        values = nb.values[None] if self.is2d else nb.values
+        cm = nb.compute_mask[None] if self.is2d else nb.compute_mask
+        Q = bp.pack_band_padded(values, self.bcs)
+        ids, count = bp.active_tile_ids(cm, self.tiles, self.capacity)
         # fresh copies: step() donates the state, and aliasing the caller's
         # mask arrays would delete them out from under the NarrowBandField
         mask = jnp.logical_or(nb.mask, False)
-        cmask = bp.pack_band_mask(nb.compute_mask, Q.dtype)
+        cmask = bp.pack_band_mask(cm, Q.dtype)
         return BandState((Q, Q + 0.0, Q + 0.0), mask, cmask, ids, count)
 
     def unpack(self, state: BandState) -> NarrowBandField:
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
+        cmask = bp.unpack_band_padded(state.cmask, self.shape) != 0
+        if self.is2d:
+            values, cmask = values[0], cmask[0]
         return NarrowBandField(
-            values, self._grid_of(), self.bcs, state.mask, self.nlayers,
-            _normalized=True,
-            _cmask=bp.unpack_band_padded(state.cmask, self.shape) != 0,
+            values, self.grid2, self.bcs2, state.mask, self.nlayers,
+            _normalized=True, _cmask=cmask,
         )
-
-    def _grid_of(self):
-        from ..core.grid import Grid
-
-        hi = tuple(
-            l + (n - 1) * h for l, n, h in zip(self.lo, self.shape, self.spacing)
-        )
-        return Grid(self.lo, hi, self.shape)
 
     def overflowed(self, state: BandState) -> bool:
         return int(state.count) > self.capacity
@@ -207,11 +256,14 @@ class FusedBandStepper:
 
         # re-tube (update_band! semantics) + rebuild the dispatch list
         values = bp.unpack_band_padded(cur, self.shape)
+        if self.is2d:
+            values = values[0]
         mask = band_mask_from_values(values, self.nlayers, state.mask)
         cmask = box_dilate(mask, NarrowBandField.COMPUTE_HALO)
-        ids, count = bp.active_tile_ids(cmask, self.tiles, self.capacity)
+        cm3 = cmask[None] if self.is2d else cmask
+        ids, count = bp.active_tile_ids(cm3, self.tiles, self.capacity)
         return BandState(
-            (cur, s1, s2), mask, bp.pack_band_mask(cmask, A.dtype), ids, count)
+            (cur, s1, s2), mask, bp.pack_band_mask(cm3, A.dtype), ids, count)
 
     def step(self, state: BandState, t, dt, retube: bool = True) -> BandState:
         """One accepted step (jitted; donates ``state``). ``retube=False``
@@ -225,10 +277,12 @@ class FusedBandStepper:
         from ..terms.terms import compute_cfl
 
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
+        cmask = bp.unpack_band_padded(state.cmask, self.shape) != 0
+        if self.is2d:
+            values, cmask = values[0], cmask[0]
         nb = NarrowBandField(
-            values, self._grid_of(), self.bcs, state.mask, self.nlayers,
-            _normalized=True,
-            _cmask=bp.unpack_band_padded(state.cmask, self.shape) != 0,
+            values, self.grid2, self.bcs2, state.mask, self.nlayers,
+            _normalized=True, _cmask=cmask,
         )
         dt = compute_cfl(self.terms, nb, jnp.asarray(t, values.dtype))
         return dt, state.count
@@ -255,6 +309,6 @@ class FusedBandStepper:
         stepper = FusedBandStepper(
             self.terms, nb, self.integrator, tiles=self.tiles,
             capacity=min(total, max(self.capacity * factor, 64)),
-            interpret=self.interpret,
+            retube_every=self.retube_every, interpret=self.interpret,
         )
         return stepper, stepper.pack(nb)
