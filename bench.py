@@ -142,7 +142,18 @@ def _run_band(lsm, n, steps, dev):
         lambda X, Y, Z: jnp.sqrt(X**2 + Y**2 + Z**2) - 0.5,
         grid, lsm.Extrapolation(2), dtype=jnp.float32,
     )
-    nb = NarrowBandField.from_field(phi)
+    # one compiled graph for the band construction: eagerly it is ~40 ops,
+    # each a multi-second remote compile through the tunnel at 512^3
+    from lsm_tpu.core.narrowband import band_mask_from_values, box_dilate
+
+    @jax.jit
+    def _masks(v):
+        m = band_mask_from_values(v, 3)
+        return m, box_dilate(m, NarrowBandField.COMPUTE_HALO)
+
+    mask, cmask = _masks(phi.values)
+    nb = NarrowBandField(phi.values, grid, phi.bcs, mask, 3,
+                         _normalized=True, _cmask=cmask)
     term = lsm.AdvectionTerm(lambda xs, t: (
         -xs[1] + 0.0 * (xs[0] + xs[2]),
         xs[0] + 0.0 * (xs[1] + xs[2]),

@@ -1,12 +1,14 @@
 """Band-proportional fused evolution driver (active-tile dispatch).
 
 Drives :func:`lsm_tpu.ops.band_pallas.band_stage` for dense 3D narrow-band
-fields: per accepted step the compute mask is reduced to an active-tile
-dispatch list, each RK stage runs ONE Pallas kernel over just those tiles, and
-the band is re-tubed (``update_band!`` semantics,
-``/root/reference/src/meshfield.jl:553-588``). Step cost scales with the
-interface area (plus O(N^2) ghost-shell refreshes and an O(N) boolean mask
-dilation), not with the grid volume.
+fields (2D grids ride along through the exact constant dummy-axis embedding):
+per accepted step the compute mask is reduced to an active-tile dispatch
+list, each RK stage runs ONE Pallas kernel over just those tiles, and the
+band is re-tubed (``update_band!`` semantics,
+``/root/reference/src/meshfield.jl:553-588``) — separable box-dilation mask
+passes, skippable between steps via ``retube_every`` within the CFL safety
+budget. Stage cost scales with the dispatched tiles (the interface area);
+the re-tube keeps an O(grid) mask pass whose cost the cadence amortizes.
 
 Buffer discipline: three persistent padded buffers rotate through the RK
 stages. Off-band cells are frozen by the band invariant, so every buffer
@@ -189,17 +191,24 @@ class FusedBandStepper:
         self._step = jax.jit(self._step_impl, donate_argnums=(0,),
                              static_argnums=(3,))
         self._cfl = jax.jit(self._cfl_impl)
+        # pack as ONE compiled graph: eagerly it is ~20 separate ops, each a
+        # multi-second remote compile through the axon tunnel at 512^3
+        self._pack = jax.jit(self._pack_impl)
 
     # -- layout -----------------------------------------------------------------
 
     def pack(self, nb: NarrowBandField) -> BandState:
-        values = nb.values[None] if self.is2d else nb.values
-        cm = nb.compute_mask[None] if self.is2d else nb.compute_mask
+        return self._pack(nb.values, nb.mask, nb.compute_mask)
+
+    def _pack_impl(self, values, nb_mask, compute_mask) -> BandState:
+        cm = compute_mask[None] if self.is2d else compute_mask
+        if self.is2d:
+            values = values[None]
         Q = bp.pack_band_padded(values, self.bcs)
         ids, count = bp.active_tile_ids(cm, self.tiles, self.capacity)
         # fresh copies: step() donates the state, and aliasing the caller's
         # mask arrays would delete them out from under the NarrowBandField
-        mask = jnp.logical_or(nb.mask, False)
+        mask = jnp.logical_or(nb_mask, False)
         cmask = bp.pack_band_mask(cm, Q.dtype)
         return BandState((Q, Q + 0.0, Q + 0.0), mask, cmask, ids, count)
 

@@ -14,19 +14,23 @@ the jnp path), and scattering the result back. Reference semantics:
 
 Layout (all DMA offsets provably aligned for Mosaic):
 
-- padded buffer ``Q``: ``(n0 + 2*G, n1 + 2*G1, L + n2 + L)`` with ``G=3``
-  ghost layers on dim 0 (offset 3), sublane pad ``G1=8`` (interior offset 8,
-  ghosts at 5..7), lane pad ``L=128`` (interior offset 128, ghosts at
-  125..127). Off-band cells of ``Q`` are FROZEN (the interface only moves
+- padded buffer ``Q``: ``(n0 + 16, n1 + 16, n2 + 256)`` — dim-0 pad ``G0=8``
+  (5 junk rows + 3 ghosts, interior at row 8), sublane pad ``G1=8`` (interior
+  offset 8, ghosts at 5..7), lane pad ``L=128`` (interior offset 128, ghosts
+  at 125..127). Off-band cells of ``Q`` are FROZEN (the interface only moves
   inside the band), so a stage writes active tiles into the *previous* padded
   buffer (ping-pong): every untouched cell there already holds the correct
   frozen value — no full-grid copy, no full-grid pad.
-- tile ``(i,j,k)`` fetch: offsets ``(i*B0, j*B1, k*B2)`` (lane/sublane
-  aligned), sizes ``(B0+6, B1+16, B2+256)``; interior sits at slab offsets
-  ``(3, 8, 128)`` and the halo (reach 3) is inside the fetch by construction.
-- tile write-back: ``(B0, B1, B2)`` at ``(3+i*B0, 8+j*B1, 128+k*B2)`` —
+- tile ``(i,j,k)`` stage fetch: offsets ``(5 + i*B0, j*B1, k*B2)``
+  (lane/sublane aligned), sizes ``(B0+6, B1+16, B2+256)``; interior sits at
+  slab offsets ``(3, 8, 128)`` and the halo (reach 3) is inside the fetch by
+  construction. The symmetric pads also admit aligned halo-8 fetches at
+  offsets ``(i*B0, j*B1, k*B2)`` for mask-maintenance kernels.
+- tile write-back: ``(B0, B1, B2)`` at ``(8+i*B0, 8+j*B1, 128+k*B2)`` —
   sublane/lane offsets are multiples of 8/128 because ``B1 % 8 == 0`` and
-  ``B2 % 128 == 0``.
+  ``B2 % 128 == 0``. The compute mask is stored in the same padded layout
+  and phi's dtype (Mosaic rejects bool DMAs) so mask tiles ride identical
+  addressing.
 
 The dispatch list is scalar-prefetched (``PrefetchScalarGridSpec``) so each
 program can compute its DMA offsets; sentinel entries (``-1`` past the active

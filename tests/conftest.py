@@ -30,9 +30,33 @@ if not _TPU_MODE:
     # override the config after import.
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+else:
+    # persistent compilation cache: remote TPU compiles through the tunnel
+    # dominate the suite's runtime; repeat runs hit the cache
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lsm_tpu_jaxcache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+#: modules safe to run against the real chip (f32, compiled Pallas)
+_TPU_SAFE = {"test_tpu_compiled.py"}
+
+
+def pytest_collection_modifyitems(config, items):
+    """In TPU mode, auto-skip everything not marked TPU-safe: the rest of the
+    suite is calibrated for the f64 CPU mesh (convergence thresholds, x64
+    reprs) and would fail spuriously on the chip (ADVICE r2)."""
+    if not _TPU_MODE:
+        return
+    skip = pytest.mark.skip(reason="f64/CPU-mesh test skipped under LSM_TPU_TESTS=1")
+    for item in items:
+        if os.path.basename(str(item.fspath)) not in _TPU_SAFE:
+            item.add_marker(skip)
 
 
 @pytest.fixture
