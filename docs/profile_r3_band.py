@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from docs.axon_timing import slope_time
 import lsm_tpu as lsm
 from lsm_tpu.core.narrowband import (
-    NarrowBandField, band_mask_from_values, l1_dilate)
+    NarrowBandField, band_mask_from_values, box_dilate)
 from lsm_tpu.integrators.band_fused import FusedBandStepper
 from lsm_tpu.ops import band_pallas as bp
 
@@ -61,7 +61,7 @@ vals = bp.unpack_band_padded(Q, shape)
 timeit("unpack (interior slice copy)", lambda q: bp.unpack_band_padded(q, shape), Q)
 timeit("band_mask_from_values (cut+stamp+dilate3)",
        lambda v, m: band_mask_from_values(v, stepper.nlayers, m), vals, mask)
-timeit("l1_dilate(mask, 3) (compute mask)", lambda m: l1_dilate(m, 3), mask)
+timeit("box_dilate(mask, 3) (compute mask)", lambda m: box_dilate(m, 3), mask)
 timeit("cmask astype f32", lambda m: m.astype(jnp.float32), mask)
 timeit("active_tile_ids", lambda c: bp.active_tile_ids(
     bp.unpack_band_padded(c, shape) != 0, stepper.tiles, stepper.capacity),
