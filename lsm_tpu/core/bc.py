@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -182,7 +183,14 @@ def _ghost_block(
             idxs = np.arange(n - 1, n - 2 - P, -1)  # boundary node n-1 inward
             W = W[::-1]  # right block ordered innermost-first (k = 1..width)
         base = jnp.moveaxis(_take(v, idxs, axis), axis, 0)
-        block = jnp.tensordot(jnp.asarray(W, dtype=v.dtype), base, axes=1)
+        # HIGHEST precision: TPU matmuls default to bf16 inputs, which would
+        # make every Extrapolation ghost only ~1e-2 accurate (caught by the
+        # on-chip refresh parity check — the Pallas kernels' scalar-weighted
+        # sums were right and this oracle was wrong)
+        block = jnp.tensordot(
+            jnp.asarray(W, dtype=v.dtype), base, axes=1,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return jnp.moveaxis(block, 0, axis)
     raise TypeError(f"unsupported boundary condition {bc!r}")
 

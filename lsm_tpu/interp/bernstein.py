@@ -69,7 +69,13 @@ def bernstein_eval(coeffs: jnp.ndarray, lo, hi, x) -> jnp.ndarray:
         remaining = ndim - d  # coefficient axes still uncontracted (the last ones)
         deg = out.shape[-remaining] - 1
         basis = bernstein_basis(deg, t[d]).astype(out.dtype)
-        out = jnp.moveaxis(out, -remaining, -1) @ basis
+        # HIGHEST: TPU matmuls default to bf16 inputs — fatal for the
+        # high-order interpolation/SDF oracle (see core/bc.py note)
+        moved = jnp.moveaxis(out, -remaining, -1)
+        out = jax.lax.dot_general(
+            moved, basis, (((moved.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return out
 
 
@@ -134,8 +140,9 @@ def bernstein_split(coeffs: jnp.ndarray, ndim: int, axis: int, t: float = 0.5):
     Lj = jnp.asarray(L, dtype=coeffs.dtype)
     Rj = jnp.asarray(R, dtype=coeffs.dtype)
     moved = jnp.moveaxis(coeffs, ax, -1)
-    left = jnp.moveaxis(moved @ Lj.T, -1, ax)
-    right = jnp.moveaxis(moved @ Rj.T, -1, ax)
+    hi = jax.lax.Precision.HIGHEST
+    left = jnp.moveaxis(jnp.matmul(moved, Lj.T, precision=hi), -1, ax)
+    right = jnp.moveaxis(jnp.matmul(moved, Rj.T, precision=hi), -1, ax)
     return left, right
 
 

@@ -187,7 +187,8 @@ class InterpolatedField:
             # consume the first trailing stencil axis, append its coeff axis at
             # the end; after ndim rounds the trailing axes are (nc,)*ndim in
             # dimension order (matches the eager layout)
-            A = jnp.tensordot(A, mat, axes=[[A.ndim - ndim], [1]])
+            A = jnp.tensordot(A, mat, axes=[[A.ndim - ndim], [1]],
+                              precision=jax.lax.Precision.HIGHEST)
         return A
 
     # -- evaluation ----------------------------------------------------------------

@@ -219,24 +219,24 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
                 r0, K = (_G0 if side == "left" else _G0 + n0 - 1 - P), P + 1
             copy(o_ref.at[pl.ds(r0, K), pl.ds(_G1, n1), pl.ds(_L, n2)],
                  src0.at[pl.ds(0, K)])
-            block = src0[pl.ds(0, K)]
+            # per-row static-index writes: negative-stride reversal and
+            # jnp.stack along the major dim miscompile under Mosaic (see
+            # weno_v2._dim0_shell)
             if isinstance(bc, _bc.Periodic):
-                ghost = block
+                w0[:] = src0[pl.ds(0, K)]
             elif isinstance(bc, _bc.Symmetry):
-                ghost = block[::-1]
+                for g in range(_G):
+                    w0[g] = src0[K - 1 - g]
             else:
                 P = bc.degree
                 W = _bc._lagrange_extrap_weights(_G, P)
                 if side == "right":
                     W = W[::-1, ::-1]
-                rows = []
                 for g in range(_G):
-                    acc = float(W[g, 0]) * block[0]
+                    acc = float(W[g, 0]) * src0[0]
                     for j in range(1, P + 1):
-                        acc = acc + float(W[g, j]) * block[j]
-                    rows.append(acc)
-                ghost = jnp.stack(rows, axis=0)
-            w0[:] = ghost
+                        acc = acc + float(W[g, j]) * src0[j]
+                    w0[g] = acc
             dst = _G0 - _G if side == "left" else _G0 + n0
             copy(w0, o_ref.at[pl.ds(dst, _G), pl.ds(_G1, n1), pl.ds(_L, n2)])
 

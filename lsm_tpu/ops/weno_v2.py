@@ -147,11 +147,15 @@ def _dim0_shell(o_ref, src, wbuf, sem, bc, side, n0, n1, dtype):
         o_ref.at[pl.ds(r0, K), pl.ds(_G1, n1), :], src.at[pl.ds(0, K)], sem)
     rd.start()
     rd.wait()
-    block = src[pl.ds(0, K)]
+    # write each ghost row by STATIC row index: negative-stride reversal and
+    # jnp.stack along the major dim miscompile under Mosaic (compiled results
+    # were wrong for Extrapolation and crashed for Symmetry while interpret
+    # mode agreed with the oracle — caught by the on-chip BC parity test)
     if isinstance(bc, _bc.Periodic):
-        ghost = block
+        wbuf[:] = src[pl.ds(0, K)]
     elif isinstance(bc, _bc.Symmetry):
-        ghost = block[::-1]
+        for g in range(_G):
+            wbuf[g] = src[K - 1 - g]
     else:
         P = bc.degree
         W = _bc._lagrange_extrap_weights(_G, P)
@@ -160,14 +164,11 @@ def _dim0_shell(o_ref, src, wbuf, sem, bc, side, n0, n1, dtype):
             # we fetched rows ascending (n-1-P..n-1): flip both
             W = W[::-1, ::-1]
         # scalar-weighted sums (Pallas kernels cannot capture array constants)
-        rows = []
         for g in range(_G):
-            acc = float(W[g, 0]) * block[0]
+            acc = float(W[g, 0]) * src[0]
             for j in range(1, P + 1):
-                acc = acc + float(W[g, j]) * block[j]
-            rows.append(acc)
-        ghost = jnp.stack(rows, axis=0)
-    wbuf[:] = ghost
+                acc = acc + float(W[g, j]) * src[j]
+            wbuf[g] = acc
     dst = 0 if side == "left" else _G + n0
     wr = pltpu.make_async_copy(
         wbuf, o_ref.at[pl.ds(dst, _G), pl.ds(_G1, n1), :], sem)

@@ -122,3 +122,47 @@ def test_band_kernel_compiled_parity():
     np.testing.assert_allclose(
         np.asarray(got.values), np.asarray(ref.values), rtol=2e-5, atol=2e-6)
     assert np.array_equal(np.asarray(got.active_mask), np.asarray(ref.active_mask))
+
+
+@requires_tpu
+def test_refresh_and_bc_pad_compiled_parity_all_bc_kinds():
+    """Compiled ghost machinery across BC kinds (the round-3 on-chip smoke
+    found two bugs the Periodic-only tests missed: Mosaic miscompiling
+    major-dim stack/reversal in the refresh kernels, and the XLA pad path's
+    tensordot running at TPU default bf16 matmul precision — ~1e-2 relative
+    ghost error for every Extrapolation BC)."""
+    from lsm_tpu.core import bc as B
+    from lsm_tpu.ops import band_pallas as bp
+    from lsm_tpu.ops import weno_v2 as v2
+
+    rng = np.random.default_rng(0)
+    shape = (32, 32, 128)
+    n0, n1, n2 = shape
+    vals = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    cases = [
+        B.normalize_bcs(B.Extrapolation(2), 3),
+        B.normalize_bcs(B.Symmetry(), 3),
+        B.normalize_bcs([(B.Symmetry(), B.Extrapolation(1)), B.Periodic(),
+                         (B.Extrapolation(3), B.Symmetry())], 3),
+    ]
+    for bcs in cases:
+        P = v2.pack_padded(vals, bcs)
+        Pd = (P.at[0:3].add(7.0).at[-3:].add(-3.0)
+               .at[:, 5:8].add(2.0).at[:, -8:-5].add(1.0))
+        ref = jax.jit(lambda p, b=bcs: v2.refresh_ghosts(p, b, shape))(Pd)
+        got = jax.jit(lambda p, b=bcs: v2.refresh_ghosts_fast(p, b, shape))(Pd)
+        r = np.asarray(ref[:, 5:11 + n1])
+        g = np.asarray(got[:, 5:11 + n1])
+        rel = np.abs(g - r).max() / max(np.abs(r).max(), 1.0)
+        assert rel < 2e-6, (B.bcs_str(bcs), rel)
+    # band layout, extrapolation (the test_band_kernel config's BC kind)
+    bcs = cases[0]
+    P = bp.pack_band_padded(vals, bcs)
+    Pd = (P.at[5:8].add(7.0).at[-8:-5].add(-3.0)
+           .at[:, 5:8].add(2.0).at[:, -8:-5].add(1.0)
+           .at[:, :, 125:128].add(4.0).at[:, :, -131:-125].add(5.0))
+    ref = bp.refresh_band_ghosts(Pd, bcs, shape)
+    got = jax.jit(lambda p: bp.refresh_band_ghosts_fast(p, bcs, shape))(Pd)
+    r = np.asarray(ref[:, 5:11 + n1, 125:131 + n2])
+    g = np.asarray(got[:, 5:11 + n1, 125:131 + n2])
+    assert np.abs(g - r).max() / max(np.abs(r).max(), 1.0) < 2e-6
