@@ -203,6 +203,7 @@ class LevelSetEquation:
             and cache[0] is self.terms
             and cache[1] is self.integrator
             and cache[2] == interpret
+            and self._stepper_compatible(cache[3])
         ):
             return cache[3]
         stepper = None
@@ -221,6 +222,32 @@ class LevelSetEquation:
         if stepper is not None:
             self._fast_cache = (self.terms, self.integrator, interpret, stepper)
         return stepper
+
+    def _stepper_compatible(self, stepper) -> bool:
+        """Whether a cached fused stepper still matches the *current* state.
+
+        ``eq.state`` may be reassigned between ``integrate()`` calls (a
+        supported idiom); the stepper snapshots grid/bcs/nlayers/shape at
+        construction, so a same-shaped state on a different grid (or with
+        different BCs) must rebuild rather than silently evolve with stale
+        geometry."""
+        from .core.narrowband import NarrowBandField
+        from .integrators.band_fused import FusedBandStepper
+
+        state = self.state
+        if isinstance(stepper, FusedBandStepper):
+            return (
+                isinstance(state, NarrowBandField)
+                and stepper.grid2 == state.grid
+                and stepper.bcs2 == state.bcs
+                and stepper.nlayers == state.nlayers
+            )
+        return (
+            not isinstance(state, NarrowBandField)
+            and stepper.grid == state.grid
+            and stepper.bcs == state.bcs
+            and stepper.shape == tuple(state.shape)
+        )
 
     def _integrate_fast(self, stepper, tf, dt_max, max_steps):
         """Host-driven adaptive-CFL loop over the fused stepper (reference loop

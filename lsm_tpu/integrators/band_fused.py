@@ -136,7 +136,12 @@ class FusedBandStepper:
         # cells are frozen, never the near-interface evolution. (The reference
         # re-tubes every step, ``timestepping.jl:115``; ``retube_every=1``
         # reproduces that exactly and is the default.)
-        max_skip = max(1, int(NarrowBandField.COMPUTE_HALO / integrator.cfl))
+        # margin = min(nlayers, COMPUTE_HALO): the interface must neither
+        # outrun the stale compute band nor the stale active band (ADVICE r3;
+        # NarrowBandField enforces nlayers >= COMPUTE_HALO today, so the min
+        # is defensive)
+        margin = min(nb.nlayers, NarrowBandField.COMPUTE_HALO)
+        max_skip = max(1, int(margin / integrator.cfl))
         if not 1 <= retube_every <= max_skip:
             raise ValueError(
                 f"retube_every={retube_every} outside the safe range "

@@ -27,30 +27,39 @@ __all__ = ["FusedStepper", "supports_fused"]
 
 
 def _term_spec(term, phi):
-    """(TermSpec, streams) for a fusible term, or None."""
+    """(TermSpec, streams) for a fusible term, or None.
+
+    Vector coefficients must carry exactly ``phi.ndim`` components (ADVICE r3:
+    the previous hard-coded 3 silently duplicated a component via JAX's
+    out-of-bounds index clamping for 2D fields)."""
     from ..terms import terms as T
+
+    n_dim = len(phi.shape)
 
     def coef_spec(kind, coef, n_comp):
         if isinstance(coef, MeshField):
-            if n_comp == 3:
-                if not coef.is_vector:
+            if n_comp > 1:
+                if not coef.is_vector or coef.values.shape[0] != n_comp:
                     return None
-                return v2.TermSpec(kind, "stream", None, 3), tuple(
-                    coef.values[d] for d in range(3))
+                return v2.TermSpec(kind, "stream", None, n_comp), tuple(
+                    coef.values[d] for d in range(n_comp))
             return v2.TermSpec(kind, "stream", None, 1), (coef.values,)
         if callable(coef):
             return v2.TermSpec(kind, "analytic", coef, 0), ()
         if isinstance(coef, (float, int)):
             return v2.TermSpec(kind, "const", float(coef), 0), ()
         arr = jnp.asarray(coef)
-        if n_comp == 3:
-            return v2.TermSpec(kind, "stream", None, 3), tuple(arr[d] for d in range(3))
+        if n_comp > 1:
+            if arr.shape[0] != n_comp:
+                return None
+            return v2.TermSpec(kind, "stream", None, n_comp), tuple(
+                arr[d] for d in range(n_comp))
         return v2.TermSpec(kind, "stream", None, 1), (arr,)
 
     if isinstance(term, T.AdvectionTerm):
         if term.scheme != "weno5" or term.update_func is not None:
             return None
-        return coef_spec("advection", term.velocity, 3)
+        return coef_spec("advection", term.velocity, n_dim)
     if isinstance(term, T.NormalMotionTerm):
         if term.update_func is not None:
             return None

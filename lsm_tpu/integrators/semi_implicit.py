@@ -75,14 +75,35 @@ def _neighbor(padded: jnp.ndarray, axis: int, side: int, shape) -> jnp.ndarray:
     return st.shift(padded, off, 1, shape)
 
 
+def _warn_nonconverged(rel_resid, tol):
+    import warnings
+
+    warnings.warn(
+        f"SemiImplicitI2OE: BiCGStab did not converge (relative residual "
+        f"{float(rel_resid):.3e} > tol {float(tol):.3e}); the step uses the "
+        "best-effort iterate (reference degradation pattern, "
+        "reinitializer.jl:39-41)"
+    )
+
+
 @dataclasses.dataclass(frozen=True, repr=False)
 class SemiImplicitI2OE(TimeIntegrator):
     """Semi-implicit advection (stable at CFL >> 1). ``tol``/``maxiter`` control
-    the BiCGStab solve of the per-step linear system."""
+    the BiCGStab solve of the per-step linear system.
+
+    ``tol=None`` (default) resolves to ``50 * eps(dtype)`` — dtype-aware, so
+    f32 states don't spin to ``maxiter`` chasing an unreachable f64-scale
+    residual. The solve is Jacobi-preconditioned with the exact system
+    diagonal ``1 + fac * sum(a_in)``, and a post-solve residual check warns
+    (without failing) when the returned iterate did not reach ``tol`` — the
+    reference's direct solve cannot fail silently (``timestepping.jl:325-327``)
+    and neither should this one."""
 
     cfl: float = 2.0
-    tol: float = 1e-10
+    tol: float | None = None
     maxiter: int = 500
+    precondition: bool = True
+    check_convergence: bool = True
 
     def advance(self, terms, phi: MeshField, t, dt):
         _check_setup(terms, phi)
@@ -126,10 +147,38 @@ class SemiImplicitI2OE(TimeIntegrator):
                     k += 1
             return acc.reshape(-1)
 
+        tol = self.tol
+        if tol is None:
+            tol = 50.0 * float(jnp.finfo(u_old.dtype).eps)
+
+        M = None
+        if self.precondition:
+            # Jacobi: the system diagonal is exactly 1 + fac * sum_faces a_in
+            # (u's own coefficient in A) — cheap, and it collapses the
+            # condition-number spread between stagnant and fast-flow regions
+            diag = 1.0 + fac * sum(ain)
+            inv_diag = (1.0 / diag).reshape(-1)
+            M = lambda v: v * inv_diag
+
         x0 = u_old.reshape(-1)
+        b = rhs.reshape(-1)
         sol, _ = jax.scipy.sparse.linalg.bicgstab(
-            A, rhs.reshape(-1), x0=x0, tol=self.tol, maxiter=self.maxiter
+            A, b, x0=x0, tol=tol, maxiter=self.maxiter, M=M
         )
+        if self.check_convergence:
+            # jax's bicgstab returns info=None: measure the residual directly
+            # and warn (not raise) on non-convergence — silent garbage is the
+            # one failure mode the reference's direct solve cannot have
+            rel = jnp.linalg.norm(A(sol) - b) / jnp.maximum(
+                jnp.linalg.norm(b), jnp.finfo(u_old.dtype).tiny
+            )
+            tol_arr = jnp.asarray(tol, u_old.dtype)
+            jax.lax.cond(
+                rel > 10.0 * tol_arr,
+                lambda r: jax.debug.callback(_warn_nonconverged, r, tol_arr),
+                lambda r: None,
+                rel,
+            )
         return phi.with_values(sol.reshape(shape)), terms
 
     def describe(self):

@@ -71,6 +71,7 @@ class NewtonSDF:
     ):
         if _state is not None:
             self.cf, self.samples, self.valid, self.order, self.maxiters = _state
+            self.overflowed = None
             return
         cf = InterpolatedField(phi, order)
         grid = phi.grid
@@ -84,6 +85,7 @@ class NewtonSDF:
         # touches ~N^2 of the N^3 cells, so seeding every cell is 2-3 orders
         # of magnitude of wasted Newton work
         live = None
+        self.overflowed = None
         if max_cut_cells is None:
             # host build (oracle use): exact-size seed set, one device sync
             nonempty = np.asarray(~cf.proven_empty(surface=True))  # (cells...)
@@ -92,7 +94,14 @@ class NewtonSDF:
             # jittable build (VERDICT r2 weak #8): capacity-bounded nonzero so
             # the whole construction traces — usable inside compiled
             # evolutions. Sentinel entries (flat index 0) are marked invalid.
+            # NOTE ``jnp.nonzero(size=...)`` silently TRUNCATES when the true
+            # cut-cell count exceeds the capacity — whole interface pieces
+            # would go unsampled and distances overestimated. ``overflowed``
+            # records that condition (a traced bool under jit; check it after
+            # the build, the band-stepper pattern — ADVICE r3).
             flat = ~cf.proven_empty(surface=True).ravel()
+            n_cut = jnp.sum(flat, dtype=jnp.int32)
+            self.overflowed = n_cut > max_cut_cells
             (idx,) = jnp.nonzero(flat, size=int(max_cut_cells), fill_value=0)
             live = flat[idx]  # sentinel rows may alias cell 0
             cells_shape = tuple(n - 1 for n in grid.shape)

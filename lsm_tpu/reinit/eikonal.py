@@ -77,44 +77,6 @@ def _axis_crossing_distance(p0, ax, h, g, shape, dtype):
     return s_m, s_p, cross_m, cross_p
 
 
-def _subcell_distance(p0, spacing, g, shape):
-    """Per-node signed distance estimate ``D = phi0 / |grad phi0|``.
-
-    The gradient magnitude uses centered differences (O(h^2)-accurate for smooth
-    phi0, which keeps repeated reinitialization nearly idempotent) with a robust
-    fallback — per dimension the largest of |forward|, |backward|, |centered|
-    (Russo-Smereka's denominator, generalized to N-D) — wherever the centered
-    estimate collapses (a local extremum straddling the interface would otherwise
-    zero the denominator)."""
-    cen_sq = 0.0
-    rob_sq = 0.0
-    for ax, h in enumerate(spacing):
-        fwd = jnp.abs(st.dp(p0, ax, h, g, shape))
-        bwd = jnp.abs(st.dm(p0, ax, h, g, shape))
-        cen = jnp.abs(st.d0(p0, ax, h, g, shape))
-        cen_sq = cen_sq + cen * cen
-        rob_sq = rob_sq + jnp.maximum(jnp.maximum(fwd, bwd), cen) ** 2
-    grad_c = jnp.sqrt(cen_sq)
-    grad_r = jnp.sqrt(rob_sq)
-    grad = jnp.where(grad_c > 0.5 * grad_r, grad_c, grad_r)
-    phi0 = st.shift(p0, (0,) * len(shape), g, shape)
-    eps = jnp.finfo(p0.dtype).eps
-    return phi0 / jnp.maximum(grad, eps)
-
-
-def _interface_mask(p0, g, shape):
-    """Nodes with an opposite-sign (or zero-crossing) neighbor along any axis."""
-    n = len(shape)
-    c = st.shift(p0, (0,) * n, g, shape)
-    mask = jnp.zeros(shape, dtype=bool)
-    for ax in range(n):
-        for k in (-1, 1):
-            nb = st.shift(p0, tuple(k if d == ax else 0 for d in range(n)), g, shape)
-            mask = jnp.logical_or(mask, c * nb < 0)
-    mask = jnp.logical_or(mask, c == 0)
-    return mask
-
-
 def reinit_rhs(phi: MeshField, s0_values: jnp.ndarray) -> jnp.ndarray:
     """Pseudo-time RHS ``s0 (|grad phi| - 1)`` with frozen smoothed sign ``s0``
     (the away-from-interface part of the update)."""

@@ -251,3 +251,36 @@ class Test2DBandPath:
         np.testing.assert_allclose(
             np.asarray(eq.current_state.values),
             np.asarray(eq_ref.current_state.values), rtol=1e-10, atol=1e-12)
+
+
+def test_stepper_cache_invalidated_on_state_geometry_change():
+    """Reassigning ``eq.state`` (a supported idiom) to a same-shaped field on
+    a DIFFERENT grid must rebuild the cached fused stepper rather than
+    silently evolving with the stale spacing/lo (ADVICE r3, medium)."""
+    grid, phi = _dense_setup()
+    dt = 0.25 * grid.min_spacing
+    eq = lsm.LevelSetEquation(
+        terms=lsm.AdvectionTerm(_vel3), ic=phi, integrator=lsm.RK3())
+    eq.integrate(dt, fast="interpret")
+    stale = eq._fast_cache[3]
+
+    # same shape, 2x the extent (2x spacing): geometry changed
+    grid2 = lsm.Grid((-2.0, -2.0, -2.0), (2.0, 2.0, 2.0), (16, 16, 128))
+    phi2 = lsm.sample(
+        lambda X, Y, Z: jnp.sqrt(X**2 + Y**2 + Z**2) - 1.0, grid2,
+        lsm.Extrapolation(2),
+    )
+    eq.state = phi2
+    eq.t = 0.0
+    eq.integrate(0.25 * grid2.min_spacing, fast="interpret")
+    fresh = eq._fast_cache[3]
+    assert fresh is not stale
+    assert fresh.grid == grid2
+
+    # the rebuilt path must match a from-scratch equation exactly
+    eq_ref = lsm.LevelSetEquation(
+        terms=eq.terms, ic=phi2, integrator=eq.integrator)
+    eq_ref.integrate(0.25 * grid2.min_spacing, fast="interpret")
+    np.testing.assert_allclose(
+        np.asarray(eq.current_state.values),
+        np.asarray(eq_ref.current_state.values), rtol=1e-12, atol=1e-14)

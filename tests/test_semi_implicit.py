@@ -206,3 +206,63 @@ def test_i2oe_step_count_advantage_per_revolution():
     # steps buy a first-order, more diffusive answer (the documented trade-off)
     assert abs(vols["explicit"] - v0) / v0 < 0.02, (vols["explicit"], v0)
     assert abs(vols["i2oe"] - v0) / v0 < 0.08, (vols["i2oe"], v0)
+
+
+def test_f32_solve_converges_without_warning():
+    """Dtype-aware default tolerance: an f32 solve must reach its own
+    (50*eps(f32)) residual target and emit NO non-convergence warning
+    (VERDICT r3 weak #3: the old tol=1e-10 default is below f32 resolution,
+    spinning BiCGStab to maxiter every step and discarding the failure)."""
+    import warnings
+
+    import jax
+
+    grid = Grid((0.0,), (1.0,), (101,))
+    phi0 = sample(lambda X: jnp.sin(2 * jnp.pi * X), grid, dtype=jnp.float32)
+    vel = sample(lambda X: (jnp.ones_like(X),), grid, vector=True,
+                 dtype=jnp.float32)
+    eq = LevelSetEquation(
+        terms=(AdvectionTerm(vel, scheme="upwind"),),
+        integrator=SemiImplicitI2OE(cfl=3.0),
+        ic=phi0,
+        bc=Periodic(),
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        eq.integrate(0.1, prehook=lambda e: None)
+        jax.block_until_ready(eq.current_state.values)
+        jax.effects_barrier()
+    msgs = [str(w.message) for w in rec]
+    assert not any("did not converge" in m for m in msgs), msgs
+    out = np.asarray(eq.current_state.values)
+    assert out.dtype == np.float32
+    assert np.isfinite(out).all()
+    # still an accurate transport solve at the f32 tolerance
+    x = np.asarray(grid.axis_coords(0))
+    ref = np.sin(2 * np.pi * np.mod(x - 0.1, 1.0))
+    assert np.abs(out - ref).max() < 0.1
+
+
+def test_nonconverged_solve_warns():
+    """An unreachable tolerance + starved iteration budget must WARN (not
+    silently return garbage) — the reference's direct solve cannot fail
+    silently (timestepping.jl:325-327) and its degradation pattern is
+    warn-and-continue (reinitializer.jl:39-41)."""
+    import warnings
+
+    import jax
+
+    grid = Grid((0.0, 0.0), (1.0, 1.0), (41, 41))
+    phi0 = sample(lambda X, Y: jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y), grid)
+    vel = sample(lambda X, Y: (1.0 + 0 * X + 0 * Y, 0.5 + 0 * X + 0 * Y),
+                 grid, vector=True)
+    integ = SemiImplicitI2OE(cfl=3.0, tol=1e-300, maxiter=1)
+    term = AdvectionTerm(vel, scheme="upwind")
+    phi = phi0.with_bcs(Periodic())
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out, _ = integ.advance((term,), phi, 0.0, 0.05)
+        jax.block_until_ready(out.values)
+        jax.effects_barrier()
+    msgs = [str(w.message) for w in rec]
+    assert any("did not converge" in m for m in msgs), msgs
