@@ -25,7 +25,11 @@ Env knobs: ``BENCH_N`` (grid edge, default 512), ``BENCH_STEPS`` (timed
 steps, default 10), ``BENCH_PATH`` ("both" [default] / "fused" / "xla"),
 ``BENCH_TILES`` ("B0,B1" tile override for the fused kernel),
 ``BENCH_BAND=1`` (benchmark the active-tile narrow-band stepper instead:
-sphere band at BENCH_N^3, reports band cell-updates/s).
+sphere band at BENCH_N^3, reports band cell-updates/s),
+``BENCH_VEL=stream`` (stream the velocity field from HBM — the full
+20 B/cell configuration — instead of evaluating it in-kernel),
+``BENCH_GRAD=1`` (time one ``jax.value_and_grad`` FE step — forward plus
+the fused Pallas backward — and report grad-step cell-updates/s).
 """
 
 import json
@@ -69,10 +73,13 @@ def _rotation_velocity(xs, t):
     return (0.5 - y + zero, x - 0.5 + zero, zero)
 
 
-def _run_fused(lsm, phi, dt, steps, tiles):
+def _run_fused(lsm, phi, dt, steps, tiles, vel=None):
     from lsm_tpu.integrators.fused import FusedStepper, supports_fused
 
-    term = lsm.AdvectionTerm(_rotation_velocity)
+    # vel=None evaluates the rotation field in-kernel from iota coordinates;
+    # a MeshField velocity streams 12 B/cell from HBM (BENCH_VEL=stream —
+    # the full 20 B/cell configuration that config 5 actually runs)
+    term = lsm.AdvectionTerm(_rotation_velocity if vel is None else vel)
     if not supports_fused((term,), phi):
         return None
     from functools import partial
@@ -88,17 +95,17 @@ def _run_fused(lsm, phi, dt, steps, tiles):
     dt_d = jnp.asarray(dt, jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def one_step(P, t):
-        return stepper._step_impl(P, t, dt_d), t + dt_d
+    def one_step(P, t, *streams):
+        return stepper._step_full(P, t, dt_d, streams), t + dt_d
 
     # warm-up / compile
     t = jnp.float32(0.0)
-    P, t = one_step(P, t)
+    P, t = one_step(P, t, *stepper._stream_args)
     P.block_until_ready()
 
     t0 = time.perf_counter()
     for k in range(steps):
-        P, t = one_step(P, t)
+        P, t = one_step(P, t, *stepper._stream_args)
     P.block_until_ready()
     elapsed = time.perf_counter() - t0
     # guard against silent divergence (would invalidate the timing claim)
@@ -130,6 +137,80 @@ def _run_xla(lsm, phi, vel, dt, steps):
         v = one_step(v, vel.values)
     v.block_until_ready()
     return time.perf_counter() - t0
+
+
+def _run_grad(lsm, n, steps, dev, streamed):
+    """value_and_grad of one fused FE step at n^3 (BENCH_GRAD=1): forward
+    Pallas stage + the round-4 Pallas backward (tile-local VJP). The jnp
+    backward cannot even compile at 512^3 (HBM OOM, ~16 GB of stencil
+    residuals), so this number exists only on the fused path."""
+    from functools import partial
+
+    from lsm_tpu.integrators.fused import FusedStepper, supports_fused
+
+    grid = lsm.Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (n, n, n))
+    from lsm_tpu.models import shapes
+
+    phi = lsm.sample(shapes.zalesak_sphere(), grid, lsm.Periodic(),
+                     dtype=jnp.float32)
+    if streamed:
+        vel = lsm.sample(
+            lambda X, Y, Z: (0.5 - Y + 0.0 * (X + Z), X - 0.5 + 0.0 * (Y + Z),
+                             0.0 * (X + Y + Z)),
+            grid, vector=True, dtype=jnp.float32,
+        )
+        term = lsm.AdvectionTerm(vel)
+    else:
+        term = lsm.AdvectionTerm(_rotation_velocity)
+    if not supports_fused((term,), phi):
+        raise RuntimeError("grad bench config not supported by the fused path")
+    stepper = FusedStepper((term,), phi, lsm.ForwardEuler())
+    dt = jnp.asarray(0.25 * grid.min_spacing, jnp.float32)
+
+    # streamed coefficient arrays ride as explicit jit arguments — closed-over
+    # MeshFields would be serialized into the HLO as constants (GBs at 512^3,
+    # rejected by the remote compile service)
+    from lsm_tpu.ops import weno_v2 as _v2
+
+    spec_objs = tuple(s for s, _ in stepper.specs)
+    stream_args = tuple(a for _, arrs in stepper.specs for a in arrs)
+
+    def loss(values, t, *streams):
+        it = iter(streams)
+        sas = tuple(
+            (s, tuple(next(it) for _ in arrs)) for s, arrs in stepper.specs
+        )
+        P = stepper.pack(values)
+        P = _v2.fused_step_stage(
+            P, sas, (0.0, 1.0, dt), t, None, stepper.bcs, stepper.spacing,
+            stepper.shape, stepper.lo, tiles=stepper.tiles,
+        )
+        return jnp.sum(stepper.unpack(P) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0,) + tuple(
+        range(2, 2 + len(stream_args)))))
+    t0_dev = jnp.float32(0.0)
+    v, g = vg(phi.values, t0_dev, *stream_args)
+    jax.block_until_ready((v, g))
+    if not bool(jnp.isfinite(v)):
+        raise RuntimeError("grad bench produced non-finite loss")
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = vg(phi.values, t0_dev, *stream_args)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    rate = float(grid.num_nodes) * steps / elapsed
+    roofline = _hbm_bw(dev) / 20.0
+    vmode = "streamed" if streamed else "analytic"
+    return {
+        "metric": f"grad-step cell updates/sec/chip ({n}^3 WENO5 advection "
+                  f"value_and_grad FE step, {vmode} velocity, "
+                  f"{dev.device_kind}, fused fwd+bwd)",
+        "value": rate,
+        "unit": "cell-updates/s",
+        "vs_baseline": rate / roofline,
+        "step_ms": elapsed / steps * 1e3,
+    }
 
 
 def _run_band(lsm, n, steps, dev):
@@ -220,15 +301,29 @@ def main():
         print(json.dumps(_run_band(lsm, n, steps, dev)))
         return
 
+    if os.environ.get("BENCH_GRAD") == "1":
+        streamed = os.environ.get("BENCH_VEL") == "stream"
+        print(json.dumps(_run_grad(lsm, n, steps, dev, streamed)))
+        return
+
     grid = lsm.Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (n, n, n))
     phi = lsm.sample(shapes.zalesak_sphere(), grid, lsm.Periodic(), dtype=dtype)
     dt = dtype(0.25 * grid.min_spacing)
 
     cells = float(grid.num_nodes) * steps
+    vel_stream = None
+    vmode = ""
+    if os.environ.get("BENCH_VEL") == "stream":
+        vel_stream = lsm.sample(
+            lambda X, Y, Z: (0.5 - Y + 0.0 * (X + Z), X - 0.5 + 0.0 * (Y + Z),
+                             0.0 * (X + Y + Z)),
+            grid, vector=True, dtype=dtype,
+        )
+        vmode = ", streamed velocity"
     results = {}  # path name -> rate
     if path in ("both", "fused") and dev.platform != "cpu":
         try:
-            elapsed = _run_fused(lsm, phi, dt, steps, tiles)
+            elapsed = _run_fused(lsm, phi, dt, steps, tiles, vel=vel_stream)
             if elapsed is None:
                 _log("bench: fused path unsupported for this config")
             else:
@@ -251,7 +346,7 @@ def main():
     roofline = _hbm_bw(dev) / 20.0  # 20 B minimum HBM traffic per cell-update
     result = {
         "metric": f"grid-cell updates/sec/chip ({n}^3 WENO5 advection step, "
-                  f"{dev.device_kind}, best of {sorted(results)}: {used})",
+                  f"{dev.device_kind}{vmode}, best of {sorted(results)}: {used})",
         "value": rate,
         "unit": "cell-updates/s",
         "vs_baseline": rate / roofline,

@@ -86,7 +86,9 @@ def grad_norm_from_padded(p, spacing, g, shape) -> jnp.ndarray:
     sq = 0.0
     for c in comps:
         sq = sq + c * c
-    return jnp.sqrt(sq)
+    # guarded sqrt: |grad phi| is exactly 0 at flat points, where the bare
+    # sqrt's infinite derivative would poison gradients (see st.safe_sqrt)
+    return st.safe_sqrt(sq)
 
 
 def hessian_from_padded(p, spacing, g, shape):

@@ -193,7 +193,7 @@ class FusedBandStepper:
             self._table = "fe"
         else:
             raise ValueError(f"unsupported integrator {integrator!r}")
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,),
+        self._step = jax.jit(self._step_full, donate_argnums=(0,),
                              static_argnums=(3,))
         self._cfl = jax.jit(self._cfl_impl)
         # pack as ONE compiled graph: eagerly it is ~20 separate ops, each a
@@ -232,35 +232,58 @@ class FusedBandStepper:
 
     # -- stepping ---------------------------------------------------------------
 
-    def _stage(self, src, dst, ids, cmask, coeffs, t_stage, aux):
+    @property
+    def _stream_args(self):
+        # streamed coefficient arrays ride as explicit jit ARGUMENTS (closed
+        # over, they would bake into the HLO as constants — GBs for a 512^3
+        # vector velocity, rejected by the axon remote compiler). A property,
+        # not a snapshot: callers may swap ``self.specs`` between steps (the
+        # update_func idiom) and must see the current arrays.
+        return tuple(a for _, arrs in self.specs for a in arrs)
+
+    def _specs_with(self, streams):
+        it = iter(streams)
+        return tuple(
+            (spec, tuple(next(it) for _ in arrs)) for spec, arrs in self.specs
+        )
+
+    def _stage(self, src, dst, ids, cmask, specs, coeffs, t_stage, aux):
         # differentiable composite: Pallas active-tile stage + in-place
         # Pallas shell refresh forward (XLA's .at[].set costs a full pass
         # over the band buffer PER SHELL — docs/perf-notes.md), custom VJP
         # backward
         return bp.band_step_stage(
-            src, dst, ids, cmask, self.specs, coeffs, t_stage, aux,
+            src, dst, ids, cmask, specs, coeffs, t_stage, aux,
             self.bcs, self.spacing, self.shape, self.lo, self.tiles,
             interpret=self.interpret,
         )
 
     def _step_impl(self, state: BandState, t, dt, retube: bool = True):
+        """Step with the constructor-captured streams (tests/direct callers;
+        :meth:`step` passes streams as jit arguments)."""
+        return self._step_full(state, t, dt, retube, self._stream_args)
+
+    def _step_full(self, state: BandState, t, dt, retube, streams):
+        specs = self._specs_with(streams)
         A, B, C = state.bufs
         ids, cmask = state.ids, state.cmask
         t = jnp.asarray(t, A.dtype)
         dt = jnp.asarray(dt, A.dtype)
         if self._table == "fe":
-            B = self._stage(A, B, ids, cmask, (0.0, 1.0, dt), t, None)
+            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
             cur, s1, s2 = B, A, C
         elif self._table == "rk2":
-            B = self._stage(A, B, ids, cmask, (0.0, 1.0, dt), t, None)
-            C = self._stage(B, C, ids, cmask, (0.5, 0.5, 0.5 * dt), t + dt, A)
+            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+            C = self._stage(B, C, ids, cmask, specs, (0.5, 0.5, 0.5 * dt),
+                            t + dt, A)
             cur, s1, s2 = C, A, B
         else:
-            B = self._stage(A, B, ids, cmask, (0.0, 1.0, dt), t, None)
-            C = self._stage(B, C, ids, cmask, (0.75, 0.25, 0.25 * dt), t + dt, A)
+            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+            C = self._stage(B, C, ids, cmask, specs, (0.75, 0.25, 0.25 * dt),
+                            t + dt, A)
             third = 1.0 / 3.0
             B = self._stage(
-                C, B, ids, cmask, (third, 2.0 * third, 2.0 * third * dt),
+                C, B, ids, cmask, specs, (third, 2.0 * third, 2.0 * third * dt),
                 t + 0.5 * dt, A,
             )
             cur, s1, s2 = B, A, C
@@ -283,11 +306,11 @@ class FusedBandStepper:
         """One accepted step (jitted; donates ``state``). ``retube=False``
         skips the O(grid) re-tube — valid only within the ``retube_every``
         cadence (see the constructor note on the CFL safety bound)."""
-        return self._step(state, t, dt, retube)
+        return self._step(state, t, dt, retube, self._stream_args)
 
     # -- adaptive CFL + overflow recovery -----------------------------------------
 
-    def _cfl_impl(self, state: BandState, t):
+    def _cfl_impl(self, state: BandState, t, terms):
         from ..terms.terms import compute_cfl
 
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
@@ -298,7 +321,7 @@ class FusedBandStepper:
             values, self.grid2, self.bcs2, state.mask, self.nlayers,
             _normalized=True, _cmask=cmask,
         )
-        dt = compute_cfl(self.terms, nb, jnp.asarray(t, values.dtype))
+        dt = compute_cfl(terms, nb, jnp.asarray(t, values.dtype))
         return dt, state.count
 
     def cfl(self, state: BandState, t):
@@ -307,7 +330,7 @@ class FusedBandStepper:
         loop — reference ``timestepping.jl:101-122`` — and overflow
         detection). CFL reduces over the ACTIVE band only, matching the
         reference's active-node reduction (``levelsetterms.jl:31-38``)."""
-        return self._cfl(state, t)
+        return self._cfl(state, t, self.terms)
 
     def regrow(self, state: BandState, factor: int = 2):
         """Recover from a dispatch-list overflow: rebuild this stepper with

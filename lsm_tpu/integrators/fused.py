@@ -122,7 +122,7 @@ class FusedStepper:
             self._table = "fe"
         else:
             raise ValueError(f"unsupported integrator {integrator!r} for fused driver")
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._step = jax.jit(self._step_full, donate_argnums=(0,))
 
     # -- layout -----------------------------------------------------------------
 
@@ -134,45 +134,69 @@ class FusedStepper:
 
     # -- stepping ---------------------------------------------------------------
 
-    def _stage(self, P, coeffs, t_stage, aux):
+    @property
+    def _stream_args(self):
+        # streamed coefficient arrays ride as explicit jit ARGUMENTS (closed
+        # over, they would bake into the HLO as constants — GBs for a 512^3
+        # vector velocity, rejected by the axon remote compiler). A property,
+        # not a snapshot: callers may swap ``self.specs`` between steps (the
+        # update_func idiom) and must see the current arrays.
+        return tuple(a for _, arrs in self.specs for a in arrs)
+
+    def _specs_with(self, streams):
+        it = iter(streams)
+        return tuple(
+            (spec, tuple(next(it) for _ in arrs)) for spec, arrs in self.specs
+        )
+
+    def _stage(self, P, specs, coeffs, t_stage, aux):
         # differentiable composite: Pallas stage + in-place Pallas shell
         # refresh forward (the XLA .at[].set refresh costs a full-buffer pass
         # PER SHELL — docs/profile_r3_parts.py), custom VJP backward
         return v2.fused_step_stage(
-            P, self.specs, coeffs, t_stage, aux, self.bcs, self.spacing,
+            P, specs, coeffs, t_stage, aux, self.bcs, self.spacing,
             self.shape, self.lo, tiles=self.tiles, interpret=self.interpret,
         )
 
-    def _step_impl(self, P, t, dt):
+    def _step_full(self, P, t, dt, streams):
+        specs = self._specs_with(streams)
         t = jnp.asarray(t, P.dtype)
         dt = jnp.asarray(dt, P.dtype)
         if self._table == "fe":
-            return self._stage(P, (0.0, 1.0, dt), t, None)
+            return self._stage(P, specs, (0.0, 1.0, dt), t, None)
         if self._table == "rk2":
-            p1 = self._stage(P, (0.0, 1.0, dt), t, None)
-            return self._stage(p1, (0.5, 0.5, 0.5 * dt), t + dt, P)
-        p1 = self._stage(P, (0.0, 1.0, dt), t, None)
-        p2 = self._stage(p1, (0.75, 0.25, 0.25 * dt), t + dt, P)
+            p1 = self._stage(P, specs, (0.0, 1.0, dt), t, None)
+            return self._stage(p1, specs, (0.5, 0.5, 0.5 * dt), t + dt, P)
+        p1 = self._stage(P, specs, (0.0, 1.0, dt), t, None)
+        p2 = self._stage(p1, specs, (0.75, 0.25, 0.25 * dt), t + dt, P)
         third = 1.0 / 3.0
-        return self._stage(p2, (third, 2.0 * third, 2.0 * third * dt), t + 0.5 * dt, P)
+        return self._stage(p2, specs, (third, 2.0 * third, 2.0 * third * dt),
+                           t + 0.5 * dt, P)
+
+    def _step_impl(self, P, t, dt):
+        """Step with the constructor-captured streams (differentiable-path
+        compatibility; prefer :meth:`step`, whose jit takes streams as
+        arguments)."""
+        return self._step_full(P, t, dt, self._stream_args)
 
     def step(self, P: jnp.ndarray, t, dt) -> jnp.ndarray:
         """One accepted step (jitted; donates ``P``)."""
-        return self._step(P, t, dt)
+        return self._step(P, t, dt, self._stream_args)
 
     # -- adaptive CFL on the fast path --------------------------------------------
 
-    def _cfl_impl(self, P, t):
+    def _cfl_impl(self, P, t, terms):
         from ..terms.terms import compute_cfl
 
         field = MeshField(
             v2.unpack_padded(P, self.shape), self.grid, self.bcs,
             _normalized=True,
         )
-        return compute_cfl(self.terms, field, jnp.asarray(t, P.dtype))
+        return compute_cfl(terms, field, jnp.asarray(t, P.dtype))
 
     def cfl(self, P: jnp.ndarray, t) -> jnp.ndarray:
         """Largest stable ``dt`` for the current padded state (jitted; the
         fused-path equivalent of ``compute_cfl`` — reference loop semantics
-        ``/root/reference/src/timestepping.jl:101-122``)."""
-        return self._cfl(P, t)
+        ``/root/reference/src/timestepping.jl:101-122``). The terms ride as
+        pytree ARGUMENTS so coefficient fields never bake into the HLO."""
+        return self._cfl(P, t, self.terms)

@@ -337,6 +337,17 @@ def eno2_onesided(p, axis, h, g, shape):
     return A, B
 
 
+def safe_sqrt(x):
+    """``sqrt`` with a finite derivative at 0 (double-where guard).
+
+    Forward-identical to ``jnp.sqrt`` for ``x >= 0``; the VJP at ``x == 0``
+    is 0 (a valid subgradient) instead of ``0 * inf = NaN``. Godunov norms
+    are EXACTLY zero on locally monotone/flat profiles, so the bare sqrt
+    poisons gradients of every normal-motion/eikonal term there."""
+    safe = x > 0
+    return jnp.where(safe, jnp.sqrt(jnp.where(safe, x, 1.0)), 0.0)
+
+
 def godunov_norms(p, spacing, g, shape):
     """Godunov upwind gradient magnitudes ``(|grad+|, |grad-|)`` with ENO2 one-sided
     derivatives (Osher-Fedkiw eq. 6.28; reference ``levelsetterms.jl:156-170``):
@@ -350,4 +361,4 @@ def godunov_norms(p, spacing, g, shape):
         A, B = eno2_onesided(p, ax, h, g, shape)
         gp2 = gp2 + jnp.maximum(A, 0.0) ** 2 + jnp.minimum(B, 0.0) ** 2
         gm2 = gm2 + jnp.minimum(A, 0.0) ** 2 + jnp.maximum(B, 0.0) ** 2
-    return jnp.sqrt(gp2), jnp.sqrt(gm2)
+    return safe_sqrt(gp2), safe_sqrt(gm2)

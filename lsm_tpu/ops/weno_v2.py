@@ -336,6 +336,29 @@ def _lane_extend(core: jnp.ndarray, bc_pair, n: int) -> jnp.ndarray:
     return jnp.concatenate(gl + [core] + gr, axis=-1)
 
 
+from functools import partial as _part
+
+
+@_part(jax.custom_vjp, nondiff_argnums=(1,))
+def _lane_roll(x, s):
+    """``pltpu.roll`` along the lane dim with a transpose rule (the raw Mosaic
+    primitive has none): roll is linear, so the cotangent rolls back by
+    ``n - s``. Forward-identical to ``pltpu.roll(x, s, axis=2)``."""
+    return pltpu.roll(x, s, axis=2)
+
+
+def _lane_roll_fwd(x, s):
+    return _lane_roll(x, s), None
+
+
+def _lane_roll_bwd(s, _, g):
+    n = g.shape[2]
+    return (_lane_roll(g, (n - s) % n),)
+
+
+_lane_roll.defvjp(_lane_roll_fwd, _lane_roll_bwd)
+
+
 def _lane_shift(block: jnp.ndarray, k: int, bc_pair, n: int,
                 interpret: bool) -> jnp.ndarray:
     """``block`` shifted by ``k`` along the (full-grid-extent) lane dim with BC
@@ -347,7 +370,7 @@ def _lane_shift(block: jnp.ndarray, k: int, bc_pair, n: int,
         rolled = jnp.roll(block, -k, axis=2)
     else:
         # pltpu.roll rejects negative shifts; cyclic roll by -k == roll by n-k
-        rolled = pltpu.roll(block, (-k) % n, axis=2)
+        rolled = _lane_roll(block, (-k) % n)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
     out = rolled
     if k < 0:
@@ -371,21 +394,25 @@ class _LaneRollView:
     the slab while every intermediate stays lane-aligned at width ``n2``.
     """
 
-    __slots__ = ("slab", "bc_pair", "B0", "B1", "n2", "dtype", "interpret", "_cache")
+    __slots__ = ("slab", "bc_pair", "B0", "B1", "n2", "dtype", "interpret",
+                 "goffs", "_cache")
 
-    def __init__(self, slab, bc_pair, tile_shape, interpret=False):
+    def __init__(self, slab, bc_pair, tile_shape, interpret=False,
+                 goffs=(_G, _G1)):
         self.slab = slab
         self.bc_pair = bc_pair
         self.B0, self.B1, self.n2 = tile_shape
         self.dtype = slab.dtype
         self.interpret = interpret
+        self.goffs = goffs  # (dim-0, dim-1) offset of the interior in the slab
         self._cache = {}
 
     def _block(self, o0: int, o1: int) -> jnp.ndarray:
         key = ("blk", o0, o1)
         if key not in self._cache:
+            g0, g1 = self.goffs
             self._cache[key] = self.slab[
-                _G + o0:_G + o0 + self.B0, _G1 + o1:_G1 + o1 + self.B1, :
+                g0 + o0:g0 + o0 + self.B0, g1 + o1:g1 + o1 + self.B1, :
             ]
         return self._cache[key]
 
@@ -430,6 +457,14 @@ def _fast_recip(x):
     division rounding) at a fraction of a VPU divide's cycle count."""
     r = pl.reciprocal(x, approx=True)
     return r * (2.0 - x * r)
+
+
+# NOTE a custom_vjp-wrapped fast reciprocal for the backward kernels was
+# tried and MISCOMPILES: any jax.custom_vjp primitive evaluated inside the
+# jax.vjp of a Pallas TPU kernel body produced order-1 wrong cotangents in
+# compiled mode while interpret mode stayed correct — independent of whether
+# the wrapped forward was pl.reciprocal or a true division (round-4 bisect).
+# The backward path therefore uses plain division (recip=None), ~6% slower.
 
 
 def _ham_contribution(spec: TermSpec, ext, tile_shape, spacing, coef, center,
@@ -739,26 +774,22 @@ def _fss_fwd(P, streams_flat, coeffs, t, aux, statics):
 
 def _fss_bwd(statics, res, g):
     P, streams_flat, coeffs, t, aux = res
-    specs, stream_counts, bcs, spacing, shape, lo, _, _ = statics
+    specs, stream_counts, bcs, spacing, shape, lo, _, interpret = statics
 
-    # recompute-from-primals VJP of the jnp composite (the standard stencil
-    # trade: residuals would cost more HBM than the recompute)
-    if aux is None:
-        def f(p, s, c, tt):
-            return _stage_refresh_jnp(p, s, c, tt, None, specs, stream_counts,
-                                      bcs, spacing, shape, lo)
+    # round-4: fused Pallas backward (tile-local VJP on the padded layout)
+    # whenever the shape supports it; exact jnp-composite fallback otherwise.
+    # LSM_TPU_JNP_BWD=1 forces the fallback for A/B comparison.
+    import os
 
-        _, vjp = jax.vjp(f, P, streams_flat, coeffs, t)
-        dP, ds, dc, dt_ = vjp(g)
-        da = None
-    else:
-        def f(p, s, c, tt, a):
-            return _stage_refresh_jnp(p, s, c, tt, a, specs, stream_counts,
-                                      bcs, spacing, shape, lo)
+    from . import weno_v2_bwd as bwd
 
-        _, vjp = jax.vjp(f, P, streams_flat, coeffs, t, aux)
-        dP, ds, dc, dt_, da = vjp(g)
-    return dP, ds, dc, dt_, da
+    if os.environ.get("LSM_TPU_JNP_BWD") != "1":
+        return bwd.stage_backward(
+            P, streams_flat, coeffs, t, aux, g, specs, stream_counts, bcs,
+            spacing, shape, lo, interpret=interpret,
+        )
+    return bwd._jnp_stage_backward(P, streams_flat, coeffs, t, aux, g, specs,
+                                  stream_counts, bcs, spacing, shape, lo)
 
 
 _fused_step_stage_p.defvjp(_fss_fwd, _fss_bwd)
