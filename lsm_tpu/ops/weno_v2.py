@@ -505,14 +505,21 @@ def _ham_contribution(spec: TermSpec, ext, tile_shape, spacing, coef, center,
     raise ValueError(f"unknown term kind {spec.kind!r}")
 
 
-def _coords_block(i, j, lo, spacing, B0, B1, n2, dtype):
-    """Sparse per-axis coordinate arrays for the tile at program (i, j)."""
+def _coords_block(i, j, lo, spacing, B0, B1, n2, dtype, offs=None):
+    """Sparse per-axis coordinate arrays for the tile at program (i, j).
+
+    ``offs`` (optional traced scalars, index units) shifts the tile into the
+    GLOBAL grid — the sharded drivers pass each shard's node offset so
+    analytic coefficients see global coordinates."""
     i0 = jax.lax.broadcasted_iota(jnp.int32, (B0, 1, 1), 0)
     i1 = jax.lax.broadcasted_iota(jnp.int32, (1, B1, 1), 1)
     i2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2), 2)
-    x = lo[0] + (i * B0 + i0).astype(dtype) * spacing[0]
-    y = lo[1] + (j * B1 + i1).astype(dtype) * spacing[1]
-    z = lo[2] + i2.astype(dtype) * spacing[2]
+    o0 = o1 = o2 = 0.0
+    if offs is not None:
+        o0, o1, o2 = offs
+    x = lo[0] + (o0 + (i * B0 + i0).astype(dtype)) * spacing[0]
+    y = lo[1] + (o1 + (j * B1 + i1).astype(dtype)) * spacing[1]
+    z = lo[2] + (o2 + i2.astype(dtype)) * spacing[2]
     return x, y, z
 
 
@@ -600,7 +607,9 @@ def _make_kernel(B0, B1, shape, spacing, grid_dims, bcs2, term_specs,
         for spec in term_specs:
             if spec.coef_kind == "analytic":
                 if coords is None:
-                    coords = _coords_block(i, j, lo, spacing, B0, B1, n2, dtype)
+                    offs = (coef_ref[4], coef_ref[5], coef_ref[6])
+                    coords = _coords_block(i, j, lo, spacing, B0, B1, n2,
+                                           dtype, offs)
                 k = 3 if spec.kind == "advection" else 1
                 coef = _as_components(spec.coef_static(coords, t), k)
             elif spec.coef_kind == "stream":
@@ -666,6 +675,7 @@ def fused_stage(
     lo,
     tiles: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
+    origin=None,
 ) -> jnp.ndarray:
     """One fused RK stage on the persistent padded layout.
 
@@ -689,7 +699,12 @@ def fused_stage(
     for spec, arrs in term_specs_and_streams:
         assert len(arrs) == spec.n_streams, (spec, len(arrs))
 
-    coef = jnp.stack([jnp.asarray(c, dtype) for c in (*coeffs, t)])
+    # SMEM stack: (alpha, beta, gamma, t, origin0, origin1, origin2) — the
+    # origin offsets (index units, traced) shift analytic-coefficient
+    # coordinates into the GLOBAL grid for sharded shards (zero locally)
+    if origin is None:
+        origin = (0.0, 0.0, 0.0)
+    coef = jnp.stack([jnp.asarray(c, dtype) for c in (*coeffs, t, *origin)])
     S0 = B0 + 2 * _G
     S1 = B1 + 2 * _G1
 
@@ -819,7 +834,8 @@ def fused_step_stage(P, term_specs_and_streams, coeffs, t, aux, bcs, spacing,
 
 
 def stage_reference(
-    padded, term_specs_and_streams, coeffs, t, aux_padded, bcs, spacing, shape, lo
+    padded, term_specs_and_streams, coeffs, t, aux_padded, bcs, spacing, shape,
+    lo, origin=None,
 ):
     """Pure-jnp stage on the same padded layout; returns the INTERIOR array.
 
@@ -834,6 +850,8 @@ def stage_reference(
     i0 = jnp.arange(n0, dtype=dtype).reshape(-1, 1, 1)
     i1 = jnp.arange(n1, dtype=dtype).reshape(1, -1, 1)
     i2 = jnp.arange(n2, dtype=dtype).reshape(1, 1, -1)
+    if origin is not None:
+        i0, i1, i2 = i0 + origin[0], i1 + origin[1], i2 + origin[2]
     coords = (
         lo[0] + i0 * float(spacing[0]),
         lo[1] + i1 * float(spacing[1]),

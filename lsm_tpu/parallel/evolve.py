@@ -185,6 +185,32 @@ def make_sharded_evolve(
     max_steps: Optional[int] = None,
     is_band: bool = False,
     nlayers: int = 3,
+    fused: bool = False,
+    interpret: bool = False,
+):
+    if fused:
+        # round-4: run the Pallas padded-state kernels per shard instead of
+        # the jnp stencils (same adaptive loop, pmin CFL, halo refresh)
+        if is_band:
+            raise ValueError("fused sharded evolution is dense-only")
+        from .fused_evolve import make_sharded_fused_evolve
+
+        return make_sharded_fused_evolve(
+            integrator, mesh, grid, dt_max=dt_max, max_steps=max_steps,
+            interpret=interpret,
+        )
+    return _make_sharded_evolve_jnp(integrator, mesh, grid, dt_max, max_steps,
+                                    is_band, nlayers)
+
+
+def _make_sharded_evolve_jnp(
+    integrator,
+    mesh: Mesh,
+    grid: Grid,
+    dt_max=jnp.inf,
+    max_steps: Optional[int] = None,
+    is_band: bool = False,
+    nlayers: int = 3,
 ):
     """Build a jitted sharded adaptive evolution
     ``(terms, phi: MeshField, t0, tf) -> (phi, t, nsteps)``.
