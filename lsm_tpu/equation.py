@@ -200,10 +200,17 @@ class LevelSetEquation:
         cache = self._fast_cache
         if (
             cache is not None
-            and cache[0] is self.terms
             and cache[1] is self.integrator
             and cache[2] == interpret
             and self._stepper_compatible(cache[3])
+            and (
+                cache[0] is self.terms
+                or (
+                    getattr(cache[3], "_has_update", False)
+                    and jax.tree_util.tree_structure(cache[0])
+                    == jax.tree_util.tree_structure(self.terms)
+                )
+            )
         ):
             return cache[3]
         stepper = None
@@ -260,6 +267,8 @@ class LevelSetEquation:
 
         band = isinstance(stepper, FusedBandStepper)
         state = stepper.pack(self.state) if band else stepper.pack(self.state.values)
+        has_update = (not band) and stepper._has_update
+        terms_dev = self.terms
         alpha = self.integrator.cfl
         eps = jnp.finfo(self.state.dtype).eps * max(abs(tf), 1.0)
         nsteps = 0
@@ -272,6 +281,13 @@ class LevelSetEquation:
                     stepper, state = stepper.regrow(state)
                     self._fast_cache = (self.terms, self.integrator,
                                         stepper.interpret, stepper)
+                cfl_dt = float(cfl_dt)
+            elif has_update:
+                # reference loop order: update_term! with the accepted-step
+                # state, THEN the CFL bound (timestepping.jl:107-111); the
+                # updated terms thread into the stages and persist
+                cfl_dt, terms_dev = stepper.cfl_with_terms(
+                    state, self.t, terms_dev)
                 cfl_dt = float(cfl_dt)
             else:
                 cfl_dt = float(stepper.cfl(state, self.t))
@@ -287,10 +303,15 @@ class LevelSetEquation:
                 retube = ((nsteps + 1) % stepper.retube_every == 0
                           or self.t + dt > tf - eps)
                 state = stepper.step(state, self.t, dt, retube)
+            elif has_update:
+                state, terms_dev = stepper.step_with_terms(
+                    state, self.t, dt, terms_dev)
             else:
                 state = stepper.step(state, self.t, dt)
             self.t += dt
             nsteps += 1
+        if has_update:
+            self.terms = terms_dev
         if band:
             self.state = stepper.unpack(state)
         else:

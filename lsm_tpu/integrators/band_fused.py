@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..core.narrowband import NarrowBandField, band_mask_from_values, box_dilate
 from ..ops import band_pallas as bp
 from .explicit import RK2, RK3, ForwardEuler, TimeIntegrator
-from .fused import _term_spec
+from .fused import _embed_specs_2d, _term_spec
 
 __all__ = ["BandState", "FusedBandStepper", "supports_band_fused"]
 
@@ -61,35 +61,6 @@ def supports_band_fused(terms, nb) -> bool:
     else:
         return False
     return ok_shape and all(_term_spec(t, nb) is not None for t in terms)
-
-
-def _embed_specs_2d(specs2, dtype):
-    """Adapt 2D term specs to the dummy-axis 3D embedding: analytic
-    coefficients ignore the dummy coordinate; the dummy velocity component is
-    zero; streamed arrays gain the leading length-1 axis."""
-    from ..ops.weno_v2 import TermSpec
-
-    out = []
-    for spec, arrs in specs2:
-        if spec.coef_kind == "analytic":
-            f2 = spec.coef_static
-            if spec.kind == "advection":
-                def f3(xs, t, _f=f2):
-                    u, v = _f((xs[1], xs[2]), t)
-                    return (0.0 * (xs[0] + xs[1] + xs[2]), u, v)
-            else:
-                def f3(xs, t, _f=f2):
-                    return _f((xs[1], xs[2]), t)
-            out.append((TermSpec(spec.kind, "analytic", f3, 0), ()))
-        elif spec.coef_kind == "stream":
-            arrs3 = tuple(a[None] for a in arrs)
-            if spec.kind == "advection":
-                arrs3 = (jnp.zeros_like(arrs3[0]),) + arrs3
-            out.append(
-                (TermSpec(spec.kind, "stream", None, len(arrs3)), arrs3))
-        else:
-            out.append((spec, arrs))
-    return tuple(out)
 
 
 def _default_tiles(shape) -> Tuple[int, int, int]:

@@ -125,6 +125,16 @@ def _fused_rollout(integrator, terms, phi, t0, dt, nsteps, unroll, fast):
         stepper = FusedStepper(terms, phi, integrator, interpret=interpret)
         P = stepper.pack(phi.values)
 
+        if stepper._has_update:
+            def body(carry, _):
+                P, t, tms = carry
+                P, tms = stepper._step_terms_impl(P, t, dt, tms)
+                return (P, t + dt, tms), None
+
+            (P, _, terms), _ = jax.lax.scan(
+                body, (P, t0, terms), None, length=nsteps, unroll=unroll)
+            return phi.with_values(stepper.unpack(P)), terms
+
         def body(carry, _):
             P, t = carry
             P = stepper._step_impl(P, t, dt)

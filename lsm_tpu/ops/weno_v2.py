@@ -656,9 +656,10 @@ def _make_kernel(B0, B1, shape, spacing, grid_dims, bcs2, term_specs,
 
 def _pick_tiles(shape):
     # (8, 128) measured fastest at 512^3 on v5e (docs/profile_r3_parts.py:
-    # 9.85 ms vs 11.6 ms for (16, 128)); prefer it wherever it divides
+    # 9.85 ms vs 11.6 ms for (16, 128)); prefer it wherever it divides.
+    # B0=1 admits the 2D dummy-axis embedding (shape (1, n0, n1)).
     n0, n1, _ = shape
-    B0 = next((b for b in (8, 16, 4, 2) if n0 % b == 0), None)
+    B0 = next((b for b in (8, 16, 4, 2, 1) if n0 % b == 0), None)
     B1 = next((b for b in (128, 64, 32, 16, 8) if n1 % b == 0), None)
     return B0, B1
 
