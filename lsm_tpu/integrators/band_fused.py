@@ -39,9 +39,11 @@ class BandState(NamedTuple):
     """Jittable band-evolution state (a pytree)."""
 
     bufs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (current, spare, spare)
-    mask: jnp.ndarray        # active band (node bool)
-    cmask: jnp.ndarray       # compute band = mask (+) stencil halo, in phi's
-    #                          dtype (0/1) — Mosaic rejects bool-dtype DMAs
+    mask_p: jnp.ndarray      # active band, PADDED layout in phi's dtype
+    #                          (0/1) — Mosaic rejects bool-dtype DMAs, and the
+    #                          incremental re-tube updates it tile-by-tile
+    cmask: jnp.ndarray       # compute band = mask (+) stencil halo, padded
+    act: jnp.ndarray         # per-tile activity (G0, G1, G2) bool
     ids: jnp.ndarray         # active-tile dispatch list (capacity,)
     count: jnp.ndarray       # live tiles (<= capacity or the list overflowed)
 
@@ -156,6 +158,19 @@ class FusedBandStepper:
                 total *= n // b
             capacity = min(total, max(64, int(n_active * slack) + 32))
         self.capacity = int(capacity)
+        reach = 1 + self.nlayers + NarrowBandField.COMPUTE_HALO
+        total = 1
+        for n, b in zip(self.shape, self.tiles):
+            total *= n // b
+        #: incremental re-tube applies when the change reach fits in a tile
+        #: (candidates = active ⊕ 1 tile) and the slab halos cover the
+        #: node reach (nlayers + 2 <= 8, the band layout's dim-0/1 pad)
+        self._incremental = (
+            reach <= min(self.tiles)
+            and self.nlayers + 2 <= 8
+            and bp._HAS_PALLAS
+        )
+        self.cand_capacity = int(min(total, max(4 * self.capacity, 128)))
         if isinstance(integrator, RK3):
             self._table = "rk3"
         elif isinstance(integrator, RK2):
@@ -184,17 +199,20 @@ class FusedBandStepper:
         ids, count = bp.active_tile_ids(cm, self.tiles, self.capacity)
         # fresh copies: step() donates the state, and aliasing the caller's
         # mask arrays would delete them out from under the NarrowBandField
-        mask = jnp.logical_or(nb_mask, False)
+        mask3 = nb_mask[None] if self.is2d else nb_mask
+        mask_p = bp.pack_band_mask(mask3, Q.dtype)
         cmask = bp.pack_band_mask(cm, Q.dtype)
-        return BandState((Q, Q + 0.0, Q + 0.0), mask, cmask, ids, count)
+        act = bp.tile_activity(cm, self.tiles)
+        return BandState((Q, Q + 0.0, Q + 0.0), mask_p, cmask, act, ids, count)
 
     def unpack(self, state: BandState) -> NarrowBandField:
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
         cmask = bp.unpack_band_padded(state.cmask, self.shape) != 0
+        mask = bp.unpack_band_padded(state.mask_p, self.shape) != 0
         if self.is2d:
-            values, cmask = values[0], cmask[0]
+            values, cmask, mask = values[0], cmask[0], mask[0]
         return NarrowBandField(
-            values, self.grid2, self.bcs2, state.mask, self.nlayers,
+            values, self.grid2, self.bcs2, mask, self.nlayers,
             _normalized=True, _cmask=cmask,
         )
 
@@ -260,18 +278,77 @@ class FusedBandStepper:
             cur, s1, s2 = B, A, C
 
         if not retube:  # cadence-skipped step: masks/dispatch stay as-is
-            return BandState((cur, s1, s2), state.mask, cmask, ids, state.count)
+            return BandState((cur, s1, s2), state.mask_p, cmask, state.act,
+                             ids, state.count)
 
-        # re-tube (update_band! semantics) + rebuild the dispatch list
+        if self._incremental:
+            return self._retube_incremental(cur, s1, s2, state)
+        return self._retube_full(cur, s1, s2, state)
+
+    def _retube_full(self, cur, s1, s2, state: BandState) -> BandState:
+        """Full-grid re-tube (``update_band!`` semantics) + dispatch rebuild
+        — O(grid) XLA passes; the pack-time baseline and the fallback when
+        the incremental candidate list overflows."""
         values = bp.unpack_band_padded(cur, self.shape)
+        prev_mask = bp.unpack_band_padded(state.mask_p, self.shape) != 0
         if self.is2d:
-            values = values[0]
-        mask = band_mask_from_values(values, self.nlayers, state.mask)
+            values, prev_mask = values[0], prev_mask[0]
+        mask = band_mask_from_values(values, self.nlayers, prev_mask)
         cmask = box_dilate(mask, NarrowBandField.COMPUTE_HALO)
+        m3 = mask[None] if self.is2d else mask
         cm3 = cmask[None] if self.is2d else cmask
         ids, count = bp.active_tile_ids(cm3, self.tiles, self.capacity)
+        act = bp.tile_activity(cm3, self.tiles)
         return BandState(
-            (cur, s1, s2), mask, bp.pack_band_mask(cm3, A.dtype), ids, count)
+            (cur, s1, s2), bp.pack_band_mask(m3, cur.dtype),
+            bp.pack_band_mask(cm3, cur.dtype), act, ids, count)
+
+    def _retube_incremental(self, cur, s1, s2, state: BandState) -> BandState:
+        """Interface-proportional re-tube (round 4): only tiles within one
+        tile of the active set can change (reach = 1 + nlayers +
+        COMPUTE_HALO <= min tile dim, validated at construction), so the
+        mask/cmask kernels run over the candidate list only. Falls back to
+        the full re-tube in-graph when the candidate list overflows."""
+        cand = box_dilate(state.act, 1)  # tile grid — trivial
+        ccount = jnp.sum(cand, dtype=jnp.int32)
+        (cids,) = jnp.nonzero(cand.ravel(), size=self.cand_capacity,
+                              fill_value=-1)
+        cids = cids.astype(jnp.int32)
+
+        def incremental(args):
+            cur, mask_p, cmask_p, act = args
+            mask_p, cmask_p, flags = bp.band_retube_incremental_d(
+                cur, mask_p, cmask_p, cids,
+                (self.nlayers, NarrowBandField.COMPUTE_HALO, self.shape,
+                 self.tiles, self.interpret))
+            act_flat = act.ravel()
+            safe = jnp.where(cids >= 0, cids, act_flat.shape[0])
+            act_new = act_flat.at[safe].set(flags > 0,
+                                            mode="drop").reshape(act.shape)
+            return mask_p, cmask_p, act_new
+
+        def full(args):
+            cur, mask_p, cmask_p, act = args
+            values = bp.unpack_band_padded(cur, self.shape)
+            prev_mask = bp.unpack_band_padded(mask_p, self.shape) != 0
+            if self.is2d:
+                values, prev_mask = values[0], prev_mask[0]
+            mask = band_mask_from_values(values, self.nlayers, prev_mask)
+            cmask = box_dilate(mask, NarrowBandField.COMPUTE_HALO)
+            m3 = mask[None] if self.is2d else mask
+            cm3 = cmask[None] if self.is2d else cmask
+            return (bp.pack_band_mask(m3, cur.dtype),
+                    bp.pack_band_mask(cm3, cur.dtype),
+                    bp.tile_activity(cm3, self.tiles))
+
+        mask_p, cmask_p, act = jax.lax.cond(
+            ccount <= self.cand_capacity, incremental, full,
+            (cur, state.mask_p, state.cmask, state.act))
+        act_int = act.ravel()
+        count = jnp.sum(act_int, dtype=jnp.int32)
+        (ids,) = jnp.nonzero(act_int, size=self.capacity, fill_value=-1)
+        return BandState((cur, s1, s2), mask_p, cmask_p, act,
+                         ids.astype(jnp.int32), count)
 
     def step(self, state: BandState, t, dt, retube: bool = True) -> BandState:
         """One accepted step (jitted; donates ``state``). ``retube=False``
@@ -288,8 +365,11 @@ class FusedBandStepper:
         cmask = bp.unpack_band_padded(state.cmask, self.shape) != 0
         if self.is2d:
             values, cmask = values[0], cmask[0]
+        mask = bp.unpack_band_padded(state.mask_p, self.shape) != 0
+        if self.is2d:
+            mask = mask[0]
         nb = NarrowBandField(
-            values, self.grid2, self.bcs2, state.mask, self.nlayers,
+            values, self.grid2, self.bcs2, mask, self.nlayers,
             _normalized=True, _cmask=cmask,
         )
         dt = compute_cfl(terms, nb, jnp.asarray(t, values.dtype))

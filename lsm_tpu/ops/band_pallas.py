@@ -783,3 +783,320 @@ def band_stage_reference(
         write, dense, jnp.where(keep_prev, interior_prev, out_interior)
     )
     return out_init.at[_G0:_G0 + n0, _G1:_G1 + n1, _L:_L + n2].set(new_interior)
+
+
+# -- incremental re-tube (round 4) --------------------------------------------------
+#
+# The full-grid re-tube (cut detect + stamp + two box dilations + dispatch
+# rebuild) is O(grid) XLA work — ~22 ms/step at 512^3, more than the dense
+# fused step itself, so the band lost on a single chip (VERDICT r3 missing
+# #3; docs/perf-notes.md band table). The reference's Dict re-tube is
+# interface-proportional by construction (``meshfield.jl:553-588``). These
+# kernels recover that: between re-tubes the interface moves <= cfl cells
+# and the band machinery reaches ``1 + nlayers + COMPUTE_HALO`` cells beyond
+# a cut cell, so ONLY tiles within one tile of the currently-active set can
+# change (tile dims >= that reach, checked by the driver). Two passes over
+# the CANDIDATE tile list (active ⊕ 1 tile, computed on the tiny tile grid):
+#
+#   pass A: recompute the ACTIVE mask per candidate tile from the phi slab
+#           (cut cells among active cells -> corner stamp -> box nlayers),
+#           written in place into the padded mask buffer;
+#   pass B: recompute the COMPUTE mask (mask ⊕ COMPUTE_HALO) per candidate
+#           tile from the FRESH mask buffer, plus a per-tile activity flag
+#           feeding the dispatch-list rebuild.
+#
+# Both use the symmetric halo-8 aligned slab fetches the padded layout was
+# designed for. Non-candidate tiles keep their (still-correct) masks.
+
+
+def _tile_view(slab, halo, ext, tiles, d0=0, d1=0, d2=0):
+    """Static slice of a halo-``halo`` slab: the tile ⊕ ``ext`` region
+    shifted by (d0, d1, d2). Lane halo is 128 in the band layout."""
+    B0, B1, B2 = tiles
+    return jax.lax.slice(
+        slab,
+        (halo - ext + d0, halo - ext + d1, _L - ext + d2),
+        (halo - ext + d0 + B0 + 2 * ext, halo - ext + d1 + B1 + 2 * ext,
+         _L - ext + d2 + B2 + 2 * ext),
+    )
+
+
+def _shift_local(a, base_ext, out_ext, tiles, d):
+    """Slice of a LOCAL tile ⊕ ``base_ext`` array: the tile ⊕ ``out_ext``
+    region shifted by ``d`` (static)."""
+    starts = tuple(base_ext - out_ext + d[i] for i in range(3))
+    sizes = tuple(tiles[i] + 2 * out_ext for i in range(3))
+    return jax.lax.slice(a, starts,
+                         tuple(st + sz for st, sz in zip(starts, sizes)))
+
+
+def _mixed_slice(a, ext, axis, out_ext, tiles, d):
+    """Slice of a LOCAL array with per-axis extents ``ext``: reduce ``axis``
+    to ``out_ext`` shifted by ``d``; other axes unchanged."""
+    starts = [0, 0, 0]
+    sizes = [tiles[i] + 2 * ext[i] for i in range(3)]
+    starts[axis] = (ext[axis] - out_ext) + d
+    sizes[axis] = tiles[axis] + 2 * out_ext
+    return jax.lax.slice(
+        a, tuple(starts), tuple(st + sz for st, sz in zip(starts, sizes)))
+
+
+def _box_or_local(cur, ext_in, ext_out, tiles):
+    """Separable box-OR dilation of radius ``ext_in - ext_out`` on a LOCAL
+    tile ⊕ ``ext_in`` boolean array, by shifted static slices (no pads or
+    embeds — lane-dim concatenation and dynamic_update_slice are Mosaic
+    hazards). Returns tile ⊕ ``ext_out``."""
+    r = ext_in - ext_out
+    ext = [ext_in, ext_in, ext_in]
+    base = tuple(tiles)
+    for axis in range(3):
+        acc = None
+        for d in range(-r, r + 1):
+            starts = [0, 0, 0]
+            sizes = [base[a] + 2 * ext[a] for a in range(3)]
+            starts[axis] = (ext[axis] - ext_out) + d
+            sizes[axis] = base[axis] + 2 * ext_out
+            part = jax.lax.slice(
+                cur, tuple(starts),
+                tuple(st + sz for st, sz in zip(starts, sizes)))
+            acc = part if acc is None else (acc | part)
+        cur = acc
+        ext[axis] = ext_out
+    return cur
+
+
+def _box_or_shrink(slab_bool, ext_in, ext_out, tiles):
+    """As :func:`_box_or_local` but starting from a full band-layout slab
+    (halo ``_G0``/``_G1``/``_L``) whose tile ⊕ ``ext_in`` region is valid."""
+    B0, B1, B2 = tiles
+    cur = jax.lax.slice(
+        slab_bool,
+        (_G0 - ext_in, _G1 - ext_in, _L - ext_in),
+        (_G0 + B0 + ext_in, _G1 + B1 + ext_in, _L + B2 + ext_in),
+    )
+    return _box_or_local(cur, ext_in, ext_out, tiles)
+
+
+def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
+    G0, G1, G2 = grid_dims
+    S0, S1, S2 = B0 + 2 * _G0, B1 + 2 * _G1, B2 + 2 * _L
+    na = nlayers
+
+    def decode(t):
+        k = jax.lax.rem(t, jnp.asarray(G2, t.dtype))
+        j = jax.lax.rem(t // jnp.asarray(G2, t.dtype), jnp.asarray(G1, t.dtype))
+        i = t // jnp.asarray(G1 * G2, t.dtype)
+        return i, j, k
+
+    def kernel_mask(ids_ref, q_hbm, m_old, m_init, m_ref, pslab, mslab, obuf,
+                    sem, sem2):
+        # m_old: the PREVIOUS mask buffer (read-only — every tile's cut
+        # detection must see pre-step masks, not a neighbor program's fresh
+        # write); m_init: aliased to the output (XLA copies the old buffer
+        # once so non-candidate tiles keep their values)
+        del m_init
+        p = pl.program_id(0)
+        tid = ids_ref[p]
+        live = tid >= 0
+
+        @pl.when(live)
+        def _():
+            i, j, k = decode(tid)
+
+            def copy(src, dst):
+                cp = pltpu.make_async_copy(src, dst, sem)
+                cp.start()
+                cp.wait()
+
+            # both slab fetches in flight together (separate semaphores)
+            rd_p = pltpu.make_async_copy(
+                q_hbm.at[pl.ds(i * B0, S0), pl.ds(j * B1, S1),
+                         pl.ds(k * B2, S2)], pslab, sem)
+            rd_m = pltpu.make_async_copy(
+                m_old.at[pl.ds(i * B0, S0), pl.ds(j * B1, S1),
+                         pl.ds(k * B2, S2)], mslab, sem2)
+            rd_p.start()
+            rd_m.start()
+            rd_p.wait()
+            rd_m.wait()
+            tiles = (B0, B1, B2)
+            # restrict to the needed extent FIRST (the full slab carries a
+            # 128-lane halo per side; the math needs na+2 <= 8): ~3x less
+            # VPU bool work per tile
+            e_cells = na + 1
+            e_node = na + 2
+            pw = jax.lax.slice(
+                pslab[:], (_G0 - e_node, _G1 - e_node, _L - e_node),
+                (_G0 + B0 + e_node, _G1 + B1 + e_node, _L + B2 + e_node))
+            mw = jax.lax.slice(
+                mslab[:], (_G0 - e_node, _G1 - e_node, _L - e_node),
+                (_G0 + B0 + e_node, _G1 + B1 + e_node, _L + B2 + e_node))
+
+            def corner_reduce(x, op, base_ext):
+                # separable 2-corner reduce per axis: 6 slices, not 24
+                ext = [base_ext] * 3
+                for ax in range(3):
+                    a = _mixed_slice(x, ext, ax, e_cells, tiles, 0)
+                    b = _mixed_slice(x, ext, ax, e_cells, tiles, 1)
+                    x = op(a, b)
+                    ext[ax] = e_cells
+                return x
+
+            anyneg = corner_reduce(pw <= 0.0, jnp.logical_or, e_node)
+            anypos = corner_reduce(pw >= 0.0, jnp.logical_or, e_node)
+            allact = corner_reduce(mw != 0.0, jnp.logical_and, e_node)
+            cut = anyneg & anypos & allact  # cells (LOCAL), tile ⊕ (na+1)
+            # corner stamp, separable: node n is a corner of cells n-1, n
+            ext = [e_cells] * 3
+            st_ = cut
+            for ax in range(3):
+                a = _mixed_slice(st_, ext, ax, na, tiles, 0)
+                b = _mixed_slice(st_, ext, ax, na, tiles, -1)
+                st_ = a | b
+                ext[ax] = na
+            # box-dilate by nlayers down to the tile
+            mask_tile = _box_or_local(st_, na, 0, tiles)
+            obuf[:] = mask_tile.astype(dtype)
+            copy(obuf, m_ref.at[pl.ds(_G0 + i * B0, B0),
+                                pl.ds(_G1 + j * B1, B1),
+                                pl.ds(_L + k * B2, B2)])
+
+    def kernel_cmask(ids_ref, m_hbm, c_in, c_ref, a_ref, mslab, obuf, abuf, sem):
+        del c_in
+        p = pl.program_id(0)
+        tid = ids_ref[p]
+        live = tid >= 0
+
+        @pl.when(live)
+        def _():
+            i, j, k = decode(tid)
+
+            def copy(src, dst):
+                cp = pltpu.make_async_copy(src, dst, sem)
+                cp.start()
+                cp.wait()
+
+            copy(m_hbm.at[pl.ds(i * B0, S0), pl.ds(j * B1, S1),
+                          pl.ds(k * B2, S2)], mslab)
+            tiles = (B0, B1, B2)
+            mwin = jax.lax.slice(
+                mslab[:], (_G0 - chalo, _G1 - chalo, _L - chalo),
+                (_G0 + B0 + chalo, _G1 + B1 + chalo, _L + B2 + chalo))
+            cm_tile = _box_or_local(mwin != 0.0, chalo, 0, tiles)
+            obuf[:] = cm_tile.astype(dtype)
+            copy(obuf, c_ref.at[pl.ds(_G0 + i * B0, B0),
+                                pl.ds(_G1 + j * B1, B1),
+                                pl.ds(_L + k * B2, B2)])
+            flag = jnp.max(obuf[:])
+            li = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            si = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            abuf[:] = jnp.where(jnp.logical_and(si == 0, li == 0), flag, 0.0)
+            copy(abuf, a_ref.at[p])
+
+    return kernel_mask, kernel_cmask
+
+
+def band_retube_incremental(Q, mask_p, cmask_p, cand_ids, nlayers, chalo,
+                            shape, tiles, interpret=False):
+    """Incremental re-tube over the candidate tile list.
+
+    ``Q`` the current phi padded buffer; ``mask_p``/``cmask_p`` the padded
+    ACTIVE/COMPUTE mask buffers (phi's dtype; donated/aliased). Returns
+    ``(mask_p, cmask_p, act_flags)`` where ``act_flags[p]`` is nonzero iff
+    candidate ``p``'s tile has any compute-band cell. Exact relative to the
+    full-grid re-tube provided every changeable tile is in the candidate
+    list (the active ⊕ 1-tile guarantee; see the module note)."""
+    n0, n1, n2 = shape
+    B0, B1, B2 = tiles
+    dtype = Q.dtype
+    grid_dims = (n0 // B0, n1 // B1, n2 // B2)
+    capacity = int(cand_ids.shape[0])
+    kernel_mask, kernel_cmask = _retube_kernels(
+        B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity)
+    S0, S1, S2 = B0 + 2 * _G0, B1 + 2 * _G1, B2 + 2 * _L
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+
+    mask_new = pl.pallas_call(
+        kernel_mask,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(capacity,),
+            in_specs=[anyspec, anyspec, anyspec],
+            out_specs=anyspec,
+            scratch_shapes=[
+                pltpu.VMEM((S0, S1, S2), dtype),
+                pltpu.VMEM((S0, S1, S2), dtype),
+                pltpu.VMEM((B0, B1, B2), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(mask_p.shape, dtype),
+        # alias the INIT copy (arg 3, counting the prefetch ids) — the old
+        # mask (arg 2) stays readable for every program
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(cand_ids, Q, mask_p, mask_p)
+    mask_p = mask_new
+
+    cmask_p, act_flags = pl.pallas_call(
+        kernel_cmask,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(capacity,),
+            in_specs=[anyspec, anyspec],
+            out_specs=(anyspec, anyspec),
+            scratch_shapes=[
+                pltpu.VMEM((S0, S1, S2), dtype),
+                pltpu.VMEM((B0, B1, B2), dtype),
+                pltpu.VMEM((8, 128), dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(cmask_p.shape, dtype),
+            jax.ShapeDtypeStruct((capacity, 8, 128), dtype),
+        ),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(cand_ids, mask_p, cmask_p)
+    return mask_p, cmask_p, act_flags[:, 0, 0]
+
+
+from functools import partial as _p4
+
+
+@_p4(jax.custom_vjp, nondiff_argnums=(4,))
+def band_retube_incremental_d(Q, mask_p, cmask_p, cand_ids, statics):
+    """Differentiation-safe wrapper: masks are piecewise constant in phi, so
+    every cotangent is zero (matching the jnp path, where boolean mask ops
+    carry no gradient) — without this the Pallas re-tube kernels would fail
+    under ``jax.grad`` in the band rollout."""
+    nlayers, chalo, shape, tiles, interpret = statics
+    return band_retube_incremental(Q, mask_p, cmask_p, cand_ids, nlayers,
+                                   chalo, shape, tiles, interpret=interpret)
+
+
+def _bri_fwd(Q, mask_p, cmask_p, cand_ids, statics):
+    out = band_retube_incremental_d(Q, mask_p, cmask_p, cand_ids, statics)
+    return out, (Q, mask_p, cmask_p, cand_ids)
+
+
+def _bri_bwd(statics, res, g):
+    import numpy as _np
+
+    Q, mask_p, cmask_p, cand_ids = res
+    return (jnp.zeros_like(Q), jnp.zeros_like(mask_p),
+            jnp.zeros_like(cmask_p),
+            _np.zeros(cand_ids.shape, dtype=jax.dtypes.float0))
+
+
+band_retube_incremental_d.defvjp(_bri_fwd, _bri_bwd)

@@ -218,13 +218,19 @@ def test_supports_fused_rejections():
     g2 = lsm.Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (16, 16, 100))
     p2 = lsm.sample(shapes.zalesak_sphere(), g2, lsm.Periodic(), dtype=DT)
     assert not supports_fused((term,), p2)
-    # update_func forces the general path
+    # update_func qualifies since round 4 (per-stage re-evaluation)
     t2 = lsm.AdvectionTerm(_velf, update_func=lambda u, phi, t: u)
-    assert not supports_fused((t2,), phi)
-    # 2D unsupported
+    assert supports_fused((t2,), phi)
+    # dense 2D qualifies since round 4 (dummy-axis embedding)
     g3 = lsm.Grid((0.0, 0.0), (1.0, 1.0), (64, 128))
     p3 = lsm.sample(shapes.zalesak_disk(), g3, lsm.Periodic(), dtype=DT)
-    assert not supports_fused((lsm.AdvectionTerm(lambda xs, t: (1.0 + 0 * xs[0], 0 * xs[1])),), p3)
+    assert supports_fused((lsm.AdvectionTerm(lambda xs, t: (1.0 + 0 * xs[0], 0 * xs[1])),), p3)
+    # the upwind scheme stays on the general path
+    assert not supports_fused((lsm.AdvectionTerm(_velf, scheme="upwind"),), phi)
+    # 2D with an unaligned trailing dim stays off
+    g4 = lsm.Grid((0.0, 0.0), (1.0, 1.0), (64, 100))
+    p4 = lsm.sample(shapes.zalesak_disk(), g4, lsm.Periodic(), dtype=DT)
+    assert not supports_fused((lsm.AdvectionTerm(lambda xs, t: (1.0 + 0 * xs[0], 0 * xs[1])),), p4)
 
 
 class TestRefreshGhostsFast:
