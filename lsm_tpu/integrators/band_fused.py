@@ -167,7 +167,7 @@ class FusedBandStepper:
         #: node reach (nlayers + 2 <= 8, the band layout's dim-0/1 pad)
         self._incremental = (
             reach <= min(self.tiles)
-            and self.nlayers + 2 <= 8
+            and self.nlayers + NarrowBandField.COMPUTE_HALO + 2 <= 8
             and bp._HAS_PALLAS
         )
         self.cand_capacity = int(min(total, max(4 * self.capacity, 128)))

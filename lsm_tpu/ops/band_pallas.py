@@ -845,23 +845,25 @@ def _box_or_local(cur, ext_in, ext_out, tiles):
     """Separable box-OR dilation of radius ``ext_in - ext_out`` on a LOCAL
     tile ⊕ ``ext_in`` boolean array, by shifted static slices (no pads or
     embeds — lane-dim concatenation and dynamic_update_slice are Mosaic
-    hazards). Returns tile ⊕ ``ext_out``."""
+    hazards). Doubling scheme: once ``t`` covers radius c, OR-ing shifts
+    ±s (s <= c+1) extends it to c+s — O(log r) steps instead of 2r+1.
+    Returns tile ⊕ ``ext_out``."""
     r = ext_in - ext_out
     ext = [ext_in, ext_in, ext_in]
-    base = tuple(tiles)
     for axis in range(3):
-        acc = None
-        for d in range(-r, r + 1):
-            starts = [0, 0, 0]
-            sizes = [base[a] + 2 * ext[a] for a in range(3)]
-            starts[axis] = (ext[axis] - ext_out) + d
-            sizes[axis] = base[axis] + 2 * ext_out
-            part = jax.lax.slice(
-                cur, tuple(starts),
-                tuple(st + sz for st, sz in zip(starts, sizes)))
-            acc = part if acc is None else (acc | part)
-        cur = acc
-        ext[axis] = ext_out
+        covered = 0
+        while covered < r:
+            srt = min(covered + 1, r - covered)
+            out_e = ext[axis] - srt
+            a = _mixed_slice(cur, ext, axis, out_e, tiles, -srt)
+            b = _mixed_slice(cur, ext, axis, out_e, tiles, 0)
+            c = _mixed_slice(cur, ext, axis, out_e, tiles, srt)
+            cur = a | b | c
+            ext[axis] = out_e
+            covered += srt
+        if ext[axis] != ext_out:
+            # covered == r exactly, so ext must already be ext_out
+            raise AssertionError("box_or_local extent bookkeeping")
     return cur
 
 
@@ -888,48 +890,86 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
         i = t // jnp.asarray(G1 * G2, t.dtype)
         return i, j, k
 
-    def kernel_mask(ids_ref, q_hbm, m_old, m_init, m_ref, pslab, mslab, obuf,
-                    sem, sem2):
+    def kernel_mask(ids_ref, q_hbm, m_old, m_init, c_init, m_ref, c_ref,
+                    a_ref, pslab, mslab, obuf, cbuf, abuf, isem, msem, osem,
+                    csem, asem):
         # m_old: the PREVIOUS mask buffer (read-only — every tile's cut
         # detection must see pre-step masks, not a neighbor program's fresh
-        # write); m_init: aliased to the output (XLA copies the old buffer
-        # once so non-candidate tiles keep their values)
-        del m_init
+        # write); m_init: aliased to the mask output (XLA copies the old
+        # buffer once so non-candidate tiles keep their values); c_init:
+        # aliased to the cmask output (in place — nothing reads cmask here).
+        # SINGLE PASS: because cmask = dilate(mask, CH) = dilate(stamp,
+        # nlayers + CH), the compute mask and the activity flag come out of
+        # the same slab when nlayers + CH + 2 <= 8 (the halo) — no second
+        # kernel, no second slab fetch. Cross-program double-buffered
+        # prefetch over the candidate list (the band-stage pattern).
+        del m_init, c_init
         p = pl.program_id(0)
         tid = ids_ref[p]
         live = tid >= 0
+        slot = jax.lax.rem(p, jnp.asarray(2, p.dtype))
+
+        def dma_p(slot2, t):
+            i2, j2, k2 = decode(t)
+            return pltpu.make_async_copy(
+                q_hbm.at[pl.ds(i2 * B0, S0), pl.ds(j2 * B1, S1),
+                         pl.ds(k2 * B2, S2)], pslab.at[slot2], isem.at[slot2])
+
+        def dma_m(slot2, t):
+            i2, j2, k2 = decode(t)
+            return pltpu.make_async_copy(
+                m_old.at[pl.ds(i2 * B0, S0), pl.ds(j2 * B1, S1),
+                         pl.ds(k2 * B2, S2)], mslab.at[slot2], msem.at[slot2])
+
+        def dma_out(slot2, t):
+            i2, j2, k2 = decode(t)
+            return pltpu.make_async_copy(
+                obuf.at[slot2],
+                m_ref.at[pl.ds(_G0 + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
+                         pl.ds(_L + k2 * B2, B2)], osem.at[slot2])
+
+        def dma_cout(slot2, t):
+            i2, j2, k2 = decode(t)
+            return pltpu.make_async_copy(
+                cbuf.at[slot2],
+                c_ref.at[pl.ds(_G0 + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
+                         pl.ds(_L + k2 * B2, B2)], csem.at[slot2])
+
+        @pl.when(jnp.logical_and(p == 0, live))
+        def _():
+            dma_p(0, tid).start()
+            dma_m(0, tid).start()
+
+        @pl.when(p + 1 < capacity)
+        def _():
+            nxt = ids_ref[jnp.minimum(p + 1, jnp.asarray(capacity - 1, p.dtype))]
+
+            @pl.when(nxt >= 0)
+            def _():
+                dma_p(1 - slot, nxt).start()
+                dma_m(1 - slot, nxt).start()
+
+        nxt_id = jnp.where(
+            p + 1 < capacity,
+            ids_ref[jnp.minimum(p + 1, jnp.asarray(capacity - 1, p.dtype))],
+            jnp.asarray(-1, ids_ref.dtype),
+        )
 
         @pl.when(live)
         def _():
-            i, j, k = decode(tid)
-
-            def copy(src, dst):
-                cp = pltpu.make_async_copy(src, dst, sem)
-                cp.start()
-                cp.wait()
-
-            # both slab fetches in flight together (separate semaphores)
-            rd_p = pltpu.make_async_copy(
-                q_hbm.at[pl.ds(i * B0, S0), pl.ds(j * B1, S1),
-                         pl.ds(k * B2, S2)], pslab, sem)
-            rd_m = pltpu.make_async_copy(
-                m_old.at[pl.ds(i * B0, S0), pl.ds(j * B1, S1),
-                         pl.ds(k * B2, S2)], mslab, sem2)
-            rd_p.start()
-            rd_m.start()
-            rd_p.wait()
-            rd_m.wait()
+            dma_p(slot, tid).wait()
+            dma_m(slot, tid).wait()
             tiles = (B0, B1, B2)
             # restrict to the needed extent FIRST (the full slab carries a
-            # 128-lane halo per side; the math needs na+2 <= 8): ~3x less
-            # VPU bool work per tile
-            e_cells = na + 1
-            e_node = na + 2
+            # 128-lane halo per side; the math needs na+chalo+2 <= 8): ~2x
+            # less VPU bool work per tile
+            e_cells = na + chalo + 1
+            e_node = na + chalo + 2
             pw = jax.lax.slice(
-                pslab[:], (_G0 - e_node, _G1 - e_node, _L - e_node),
+                pslab[slot], (_G0 - e_node, _G1 - e_node, _L - e_node),
                 (_G0 + B0 + e_node, _G1 + B1 + e_node, _L + B2 + e_node))
             mw = jax.lax.slice(
-                mslab[:], (_G0 - e_node, _G1 - e_node, _L - e_node),
+                mslab[slot], (_G0 - e_node, _G1 - e_node, _L - e_node),
                 (_G0 + B0 + e_node, _G1 + B1 + e_node, _L + B2 + e_node))
 
             def corner_reduce(x, op, base_ext):
@@ -945,65 +985,68 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
             anyneg = corner_reduce(pw <= 0.0, jnp.logical_or, e_node)
             anypos = corner_reduce(pw >= 0.0, jnp.logical_or, e_node)
             allact = corner_reduce(mw != 0.0, jnp.logical_and, e_node)
-            cut = anyneg & anypos & allact  # cells (LOCAL), tile ⊕ (na+1)
+            cut = anyneg & anypos & allact  # cells (LOCAL), tile ⊕ (na+CH+1)
             # corner stamp, separable: node n is a corner of cells n-1, n
+            e_stamp = na + chalo
             ext = [e_cells] * 3
             st_ = cut
             for ax in range(3):
-                a = _mixed_slice(st_, ext, ax, na, tiles, 0)
-                b = _mixed_slice(st_, ext, ax, na, tiles, -1)
+                a = _mixed_slice(st_, ext, ax, e_stamp, tiles, 0)
+                b = _mixed_slice(st_, ext, ax, e_stamp, tiles, -1)
                 st_ = a | b
-                ext[ax] = na
-            # box-dilate by nlayers down to the tile
-            mask_tile = _box_or_local(st_, na, 0, tiles)
-            obuf[:] = mask_tile.astype(dtype)
-            copy(obuf, m_ref.at[pl.ds(_G0 + i * B0, B0),
-                                pl.ds(_G1 + j * B1, B1),
-                                pl.ds(_L + k * B2, B2)])
+                ext[ax] = e_stamp
+            # mask = stamp ⊕ nlayers; cmask = stamp ⊕ (nlayers + CH)
+            mask_tile = _box_or_local(
+                _shift_local(st_, e_stamp, na, tiles, (0, 0, 0)), na, 0, tiles)
+            cmask_tile = _box_or_local(st_, e_stamp, 0, tiles)
 
-    def kernel_cmask(ids_ref, m_hbm, c_in, c_ref, a_ref, mslab, obuf, abuf, sem):
-        del c_in
-        p = pl.program_id(0)
-        tid = ids_ref[p]
-        live = tid >= 0
+            @pl.when(p >= 2)
+            def _():
+                pm2 = ids_ref[p - 2]
 
-        @pl.when(live)
-        def _():
-            i, j, k = decode(tid)
+                @pl.when(pm2 >= 0)
+                def _():
+                    dma_out(slot, pm2).wait()
+                    dma_cout(slot, pm2).wait()
 
-            def copy(src, dst):
-                cp = pltpu.make_async_copy(src, dst, sem)
-                cp.start()
-                cp.wait()
-
-            copy(m_hbm.at[pl.ds(i * B0, S0), pl.ds(j * B1, S1),
-                          pl.ds(k * B2, S2)], mslab)
-            tiles = (B0, B1, B2)
-            mwin = jax.lax.slice(
-                mslab[:], (_G0 - chalo, _G1 - chalo, _L - chalo),
-                (_G0 + B0 + chalo, _G1 + B1 + chalo, _L + B2 + chalo))
-            cm_tile = _box_or_local(mwin != 0.0, chalo, 0, tiles)
-            obuf[:] = cm_tile.astype(dtype)
-            copy(obuf, c_ref.at[pl.ds(_G0 + i * B0, B0),
-                                pl.ds(_G1 + j * B1, B1),
-                                pl.ds(_L + k * B2, B2)])
-            flag = jnp.max(obuf[:])
+            obuf[slot] = mask_tile.astype(dtype)
+            cbuf[slot] = cmask_tile.astype(dtype)
+            dma_out(slot, tid).start()
+            dma_cout(slot, tid).start()
+            flag = jnp.max(cbuf[slot])
             li = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
             si = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             abuf[:] = jnp.where(jnp.logical_and(si == 0, li == 0), flag, 0.0)
-            copy(abuf, a_ref.at[p])
+            cpa = pltpu.make_async_copy(abuf, a_ref.at[p], asem)
+            cpa.start()
+            cpa.wait()
 
-    return kernel_mask, kernel_cmask
+            @pl.when(nxt_id < 0)
+            def _():
+                dma_out(slot, tid).wait()
+                dma_cout(slot, tid).wait()
+
+                @pl.when(p >= 1)
+                def _():
+                    prv = ids_ref[p - 1]
+
+                    @pl.when(prv >= 0)
+                    def _():
+                        dma_out(1 - slot, prv).wait()
+                        dma_cout(1 - slot, prv).wait()
+
+    return kernel_mask
 
 
 def band_retube_incremental(Q, mask_p, cmask_p, cand_ids, nlayers, chalo,
                             shape, tiles, interpret=False):
-    """Incremental re-tube over the candidate tile list.
+    """Incremental re-tube over the candidate tile list — ONE kernel pass.
 
     ``Q`` the current phi padded buffer; ``mask_p``/``cmask_p`` the padded
     ACTIVE/COMPUTE mask buffers (phi's dtype; donated/aliased). Returns
     ``(mask_p, cmask_p, act_flags)`` where ``act_flags[p]`` is nonzero iff
-    candidate ``p``'s tile has any compute-band cell. Exact relative to the
+    candidate ``p``'s tile has any compute-band cell. Requires
+    ``nlayers + chalo + 2 <= 8`` (the layout halo); exact relative to the
     full-grid re-tube provided every changeable tile is in the candidate
     list (the active ⊕ 1-tile guarantee; see the module note)."""
     n0, n1, n2 = shape
@@ -1011,64 +1054,46 @@ def band_retube_incremental(Q, mask_p, cmask_p, cand_ids, nlayers, chalo,
     dtype = Q.dtype
     grid_dims = (n0 // B0, n1 // B1, n2 // B2)
     capacity = int(cand_ids.shape[0])
-    kernel_mask, kernel_cmask = _retube_kernels(
+    kernel_mask = _retube_kernels(
         B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity)
     S0, S1, S2 = B0 + 2 * _G0, B1 + 2 * _G1, B2 + 2 * _L
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
-    mask_new = pl.pallas_call(
+    mask_new, cmask_new, act_flags = pl.pallas_call(
         kernel_mask,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(capacity,),
-            in_specs=[anyspec, anyspec, anyspec],
-            out_specs=anyspec,
+            in_specs=[anyspec, anyspec, anyspec, anyspec],
+            out_specs=(anyspec, anyspec, anyspec),
             scratch_shapes=[
-                pltpu.VMEM((S0, S1, S2), dtype),
-                pltpu.VMEM((S0, S1, S2), dtype),
-                pltpu.VMEM((B0, B1, B2), dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct(mask_p.shape, dtype),
-        # alias the INIT copy (arg 3, counting the prefetch ids) — the old
-        # mask (arg 2) stays readable for every program
-        input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(cand_ids, Q, mask_p, mask_p)
-    mask_p = mask_new
-
-    cmask_p, act_flags = pl.pallas_call(
-        kernel_cmask,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(capacity,),
-            in_specs=[anyspec, anyspec],
-            out_specs=(anyspec, anyspec),
-            scratch_shapes=[
-                pltpu.VMEM((S0, S1, S2), dtype),
-                pltpu.VMEM((B0, B1, B2), dtype),
+                pltpu.VMEM((2, S0, S1, S2), dtype),
+                pltpu.VMEM((2, S0, S1, S2), dtype),
+                pltpu.VMEM((2, B0, B1, B2), dtype),
+                pltpu.VMEM((2, B0, B1, B2), dtype),
                 pltpu.VMEM((8, 128), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=(
+            jax.ShapeDtypeStruct(mask_p.shape, dtype),
             jax.ShapeDtypeStruct(cmask_p.shape, dtype),
             jax.ShapeDtypeStruct((capacity, 8, 128), dtype),
         ),
-        input_output_aliases={2: 0},
+        # alias the INIT copies (args 3/4, counting the prefetch ids) — the
+        # old mask (arg 2) stays readable for every program
+        input_output_aliases={3: 0, 4: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(cand_ids, mask_p, cmask_p)
-    return mask_p, cmask_p, act_flags[:, 0, 0]
+    )(cand_ids, Q, mask_p, mask_p, cmask_p)
+    return mask_new, cmask_new, act_flags[:, 0, 0]
 
 
 from functools import partial as _p4

@@ -350,19 +350,17 @@ def _pick_bwd_tiles(shape) -> Tuple[Optional[int], Optional[int]]:
     def fits(b0, b1):
         return (b0 + 6) * (b1 + 10) * n2 * 4 * 60 <= 85 * 1024 * 1024
 
-    best = None
-    for b0 in (16, 8):
+    # measured at 512^3: (8,32) 144.7 ms/grad-step beats (16,16) 149.8 and
+    # (8,16) 189.0; (16,32) exceeds VMEM — prefer B0=8 with the widest B1
+    # that fits
+    for b0 in (8, 16):
         if n0 % b0 or n0 < b0 + 6:
             continue
         for b1 in (128, 64, 32, 16, 8):
             if n1 % b1 or n1 < b1 + 16 or not fits(b0, b1):
                 continue
-            red = (b0 + 6) * (b1 + 10) / (b0 * b1)  # eval redundancy
-            if best is None or red < best[0]:
-                best = (red, b0, b1)
-    if best is None:
-        return None, None
-    return best[1], best[2]
+            return b0, b1
+    return None, None
 
 
 def supports_stage_bwd(shape, bcs) -> bool:
