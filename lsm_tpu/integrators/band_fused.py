@@ -179,8 +179,32 @@ class FusedBandStepper:
             self._table = "fe"
         else:
             raise ValueError(f"unsupported integrator {integrator!r}")
-        self._step = jax.jit(self._step_full, donate_argnums=(0,),
-                             static_argnums=(3,))
+        # host-loop step: only the buffers a table WRITES cross the jit
+        # boundary as donated args, and nothing passes through unchanged —
+        # XLA COPIES donated inputs that are returned as-is (~2.2 ms per
+        # 840 MB buffer at 512^3; measured +8.8 ms/step for the full
+        # BandState pass-through)
+        # two jits per table: donation must differ (a retube step consumes
+        # mask/cmask via in-place aliasing; a cadence-skipped step must NOT
+        # donate them — the host keeps the originals)
+        if self._table == "fe":
+            self._step_core_rt = jax.jit(
+                lambda A, B, m, c, a, i, t, dt, s:
+                    self._core_fe(A, B, m, c, a, i, True, t, dt, s),
+                donate_argnums=(1, 2, 3))
+            self._step_core_nrt = jax.jit(
+                lambda A, B, m, c, a, i, t, dt, s:
+                    self._core_fe(A, B, m, c, a, i, False, t, dt, s),
+                donate_argnums=(1,))
+        else:
+            self._step_core_rt = jax.jit(
+                lambda A, B, C, m, c, a, i, t, dt, s:
+                    self._core_rk(A, B, C, m, c, a, i, True, t, dt, s),
+                donate_argnums=(1, 2, 3, 4))
+            self._step_core_nrt = jax.jit(
+                lambda A, B, C, m, c, a, i, t, dt, s:
+                    self._core_rk(A, B, C, m, c, a, i, False, t, dt, s),
+                donate_argnums=(1, 2))
         self._cfl = jax.jit(self._cfl_impl)
         # pack as ONE compiled graph: eagerly it is ~20 separate ops, each a
         # multi-second remote compile through the axon tunnel at 512^3
@@ -350,11 +374,69 @@ class FusedBandStepper:
         return BandState((cur, s1, s2), mask_p, cmask_p, act,
                          ids.astype(jnp.int32), count)
 
+    def _retube_outputs(self, cur, mask_p, cmask, act):
+        """(mask_p', cmask', act', ids', count') for the post-stage state."""
+        st8 = BandState((cur, cur, cur), mask_p, cmask, act,
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((), jnp.int32))
+        if self._incremental:
+            out = self._retube_incremental(cur, cur, cur, st8)
+        else:
+            out = self._retube_full(cur, cur, cur, st8)
+        return out.mask_p, out.cmask, out.act, out.ids, out.count
+
+    def _core_fe(self, A, B, mask_p, cmask, act, ids, retube, t, dt, streams):
+        specs = self._specs_with(streams)
+        t = jnp.asarray(t, A.dtype)
+        dt = jnp.asarray(dt, A.dtype)
+        cur = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+        if not retube:
+            return (cur,)
+        return (cur,) + self._retube_outputs(cur, mask_p, cmask, act)
+
+    def _core_rk(self, A, B, C, mask_p, cmask, act, ids, retube, t, dt,
+                 streams):
+        specs = self._specs_with(streams)
+        t = jnp.asarray(t, A.dtype)
+        dt = jnp.asarray(dt, A.dtype)
+        if self._table == "rk2":
+            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+            cur = self._stage(B, C, ids, cmask, specs, (0.5, 0.5, 0.5 * dt),
+                              t + dt, A)
+            spare = B
+        else:
+            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+            C = self._stage(B, C, ids, cmask, specs, (0.75, 0.25, 0.25 * dt),
+                            t + dt, A)
+            third = 1.0 / 3.0
+            cur = self._stage(C, B, ids, cmask, specs,
+                              (third, 2.0 * third, 2.0 * third * dt),
+                              t + 0.5 * dt, A)
+            spare = C
+        if not retube:
+            return (cur, spare)
+        return (cur, spare) + self._retube_outputs(cur, mask_p, cmask, act)
+
     def step(self, state: BandState, t, dt, retube: bool = True) -> BandState:
-        """One accepted step (jitted; donates ``state``). ``retube=False``
-        skips the O(grid) re-tube — valid only within the ``retube_every``
-        cadence (see the constructor note on the CFL safety bound)."""
-        return self._step(state, t, dt, retube, self._stream_args)
+        """One accepted step. ``retube=False`` skips the re-tube — valid
+        only within the ``retube_every`` cadence (see the constructor note
+        on the CFL safety bound). Untouched buffers stay host-side (never
+        copied); the written buffers are donated."""
+        A, B, C = state.bufs
+        core = self._step_core_rt if retube else self._step_core_nrt
+        if self._table == "fe":
+            outs = core(A, B, state.mask_p, state.cmask, state.act,
+                        state.ids, t, dt, self._stream_args)
+            bufs = (outs[0], A, C)
+        else:
+            outs = core(A, B, C, state.mask_p, state.cmask, state.act,
+                        state.ids, t, dt, self._stream_args)
+            bufs = (outs[0], A, outs[1])
+        k = 1 if self._table == "fe" else 2
+        if not retube:
+            return BandState(bufs, state.mask_p, state.cmask, state.act,
+                             state.ids, state.count)
+        mask_p, cmask, act, ids, count = outs[k:]
+        return BandState(bufs, mask_p, cmask, act, ids, count)
 
     # -- adaptive CFL + overflow recovery -----------------------------------------
 
