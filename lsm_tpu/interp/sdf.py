@@ -288,27 +288,6 @@ class NewtonSDF:
         order = jnp.argsort(d2, axis=-1)[..., :k]
         return jnp.take_along_axis(cand, order[..., None], axis=-2)
 
-    def _nearest_sample(self, x: jnp.ndarray, chunk: int = 8192) -> jnp.ndarray:
-        """Index of the nearest valid sample for each query point (chunked over
-        samples to bound the distance-matrix size; brute-force fallback for
-        tiny sample sets)."""
-        S = self.samples
-        inf = jnp.asarray(jnp.inf, x.dtype)
-        best_d = jnp.full(x.shape[:-1], jnp.inf, dtype=x.dtype)
-        best_i = jnp.zeros(x.shape[:-1], dtype=jnp.int32)
-        n = S.shape[0]
-        for s0 in range(0, n, chunk):
-            Sc = S[s0 : s0 + chunk]
-            Vc = self.valid[s0 : s0 + chunk]
-            d2 = jnp.sum((x[..., None, :] - Sc) ** 2, axis=-1)
-            d2 = jnp.where(Vc, d2, inf)
-            i = jnp.argmin(d2, axis=-1)
-            d = jnp.take_along_axis(d2, i[..., None], axis=-1)[..., 0]
-            upd = d < best_d
-            best_d = jnp.where(upd, d, best_d)
-            best_i = jnp.where(upd, (i + s0).astype(jnp.int32), best_i)
-        return best_i
-
     def _closest_point_chunk(self, pts):
         cands = self._nearest_seed_positions(pts, k=3)
         seed0 = cands[..., 0, :]
