@@ -149,3 +149,34 @@ def test_rollout_selects_fused_path_with_matching_gradients(band):
     gf = jax.grad(lf)(phi_v)
     go = jax.grad(lo)(phi_v)
     assert float(jnp.abs(gf - go).max()) < 1e-11 * max(float(jnp.abs(go).max()), 1.0)
+
+
+@pytest.mark.parametrize("fast", ["interpret", "off"])
+def test_rollout_remat_gradients_match(fast):
+    """Step-level rematerialization (VERDICT r4 next #2) is value- and
+    gradient-neutral: ``remat=True`` (the default) and chunked two-level
+    remat reproduce the ``remat=False`` rollout gradient exactly — remat
+    changes WHEN residuals are (re)computed, never what is computed."""
+    grid, base, phi_v, _ = _setup()
+    vel = lambda xs, t: (-xs[1] + 0.0 * (xs[0] + xs[2]),
+                         xs[0] + 0.0 * (xs[1] + xs[2]),
+                         0.0 * (xs[0] + xs[1] + xs[2]))
+    term = lsm.AdvectionTerm(vel)
+    dt = 0.3 * grid.min_spacing
+    phi = base.with_values(phi_v)
+
+    def make_loss(remat, remat_chunk=None):
+        def loss(v):
+            out, _ = _loop.rollout(lsm.RK3(), (term,), phi.with_values(v),
+                                   0.0, dt, 5, fast=fast, remat=remat,
+                                   remat_chunk=remat_chunk)
+            return jnp.sum(out.values ** 2)
+        return loss
+
+    g_plain = jax.grad(make_loss(False))(phi_v)
+    g_remat = jax.grad(make_loss(True))(phi_v)
+    g_chunk = jax.grad(make_loss(True, remat_chunk=2))(phi_v)
+    scale = max(float(jnp.abs(g_plain).max()), 1.0)
+    assert float(jnp.abs(g_remat - g_plain).max()) < 1e-12 * scale
+    assert float(jnp.abs(g_chunk - g_plain).max()) < 1e-12 * scale
+    assert float(jnp.abs(g_plain).max()) > 0
