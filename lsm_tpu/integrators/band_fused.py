@@ -230,6 +230,22 @@ class FusedBandStepper:
         return BandState((Q, Q + 0.0, Q + 0.0), mask_p, cmask, act, ids, count)
 
     def unpack(self, state: BandState) -> NarrowBandField:
+        # fail loud on a dispatch-list overflow (count > capacity means tiles
+        # were dropped and the evolved values are incomplete) — cheap post-hoc
+        # check at the exit boundary; silent when the count is traced (the
+        # equation driver checks it per accepted step instead, equation.py)
+        try:
+            if int(state.count) > self.capacity:
+                import warnings
+
+                warnings.warn(
+                    f"band dispatch list overflowed (count={int(state.count)} "
+                    f"> capacity={self.capacity}): some active tiles were "
+                    f"never stepped — use regrow() and re-run",
+                    RuntimeWarning, stacklevel=2)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerIntegerConversionError):
+            pass
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
         cmask = bp.unpack_band_padded(state.cmask, self.shape) != 0
         mask = bp.unpack_band_padded(state.mask_p, self.shape) != 0

@@ -411,6 +411,7 @@ def reinitialize_newton(
     upsample: int = 2,
     maxiters: int = 20,
     max_cut_cells: Optional[int] = None,
+    on_overflow: str = "warn",
 ) -> MeshField:
     """Overwrite every active node with ``sign(phi) * |x - cp(x)|`` from a fresh
     :class:`NewtonSDF` — single-pass, O(h^(order+1))-accurate reinitialization
@@ -418,9 +419,39 @@ def reinitialize_newton(
 
     With ``max_cut_cells`` the whole build is jittable (capacity-bounded cut
     cell gather), so Newton reinit can run inside a compiled evolution — e.g.
-    as a ``jax.jit``-wrapped posthook."""
+    as a ``jax.jit``-wrapped posthook.
+
+    A cut-cell count above ``max_cut_cells`` TRUNCATES the seed set (whole
+    interface pieces unsampled, distances overestimated), so the overflow
+    fails LOUD by default: ``on_overflow`` is ``"warn"`` (the reference's
+    stance on a degraded reinit, ``reinitializer.jl:39-41``), ``"raise"``, or
+    ``"ignore"``. Under ``jit`` the count is traced, so the warning becomes a
+    runtime ``jax.debug.print`` instead."""
+    if on_overflow not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_overflow must be warn/raise/ignore, "
+                         f"got {on_overflow!r}")
     sdf = NewtonSDF(phi, order=order, upsample=upsample, maxiters=maxiters,
                     max_cut_cells=max_cut_cells)
+    if sdf.overflowed is not None and on_overflow != "ignore":
+        import warnings
+
+        msg = (f"reinitialize_newton: cut-cell count exceeds "
+               f"max_cut_cells={max_cut_cells}; the seed set is truncated and "
+               f"the reinitialized distances are unreliable — rebuild with a "
+               f"larger capacity")
+        try:
+            overflowed = bool(sdf.overflowed)
+            if overflowed and on_overflow == "raise":
+                raise RuntimeError(msg)
+            if overflowed:
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        except jax.errors.TracerBoolConversionError:
+            # traced (inside jit): surface at runtime instead of trace time
+            jax.lax.cond(
+                sdf.overflowed,
+                lambda: jax.debug.print("WARNING: " + msg),
+                lambda: None,
+            )
     nodes = jnp.stack(phi.grid.dense_coords(dtype=phi.dtype), axis=-1).reshape(-1, phi.ndim)
     cp, _ = sdf.closest_point(nodes)
     dist = jnp.sqrt(jnp.sum((nodes - cp) ** 2, axis=-1)).reshape(phi.shape)

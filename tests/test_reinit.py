@@ -209,3 +209,27 @@ def test_newton_vs_eikonal_reinit_accuracy_gap():
     assert ratios[64] > 2.0 * ratios[32], (ratios, errs)
     # absolute floor for the Newton method at n=64 (order 3 => O(h^4))
     assert errs[64]["newton"] < 5e-4, errs
+
+
+def test_reinitialize_newton_overflow_fails_loud():
+    """Seed-set truncation (cut cells > max_cut_cells) warns by default and
+    raises with on_overflow="raise" (VERDICT r4 next #7); an adequate
+    capacity stays silent."""
+    import warnings
+
+    import lsm_tpu as lsm
+    from lsm_tpu import reinitialize_newton
+
+    grid = lsm.Grid((-1.0, -1.0), (1.0, 1.0), (24, 24))
+    phi = lsm.sample(lambda X, Y: jnp.sqrt(X**2 + Y**2) - 0.55,
+                     grid, lsm.Extrapolation(1))
+    with pytest.warns(RuntimeWarning, match="max_cut_cells"):
+        reinitialize_newton(phi, order=2, upsample=1, max_cut_cells=4)
+    with pytest.raises(RuntimeError, match="max_cut_cells"):
+        reinitialize_newton(phi, order=2, upsample=1, max_cut_cells=4,
+                            on_overflow="raise")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        reinitialize_newton(phi, order=2, upsample=1, max_cut_cells=4,
+                            on_overflow="ignore")
+        reinitialize_newton(phi, order=2, upsample=1, max_cut_cells=4096)
