@@ -4,12 +4,16 @@ Runs a WENO5 advection Hamiltonian + forward-Euler update (one Hamiltonian
 evaluation per cell per step — the unit the reference's hot loop performs per
 node, SURVEY.md section 3.2) and prints ONE JSON line:
 
-    {"metric": ..., "value": N, "unit": "cell-updates/s", "vs_baseline": R}
+    {"metric": ..., "value": N, "unit": "cell-updates/s", "vs_baseline": R,
+     "extras": {...}}
 
-By default BOTH the fused Pallas path and the plain XLA path are timed and the
-BEST one is reported (each path's own number goes to stderr), so a regression
-in either path can never silently ship as the headline number (VERDICT r2
-weak #2).
+The headline stays the best forward path (fused Pallas vs plain XLA, each
+path's own number on stderr — a regression in either can never silently ship,
+VERDICT r2 weak #2). Since round 5 the DEFAULT run also measures the rest of
+the performance contract into ``extras`` (VERDICT r4 next #6): the
+streamed-velocity forward, the ``value_and_grad`` FE grad step, the 512^3
+narrow-band step, and a 768^3 band-vs-dense pair (the regime where the
+interface-proportional band beats the volume-proportional dense step).
 
 ``vs_baseline`` is measured against the speed-of-light estimate for the
 *reference semantics* of this kernel on the local chip: the minimum HBM
@@ -22,14 +26,18 @@ HBM-bound — see docs/perf-notes.md — but the ratio stays pinned to the fixed
 HBM roofline so rounds remain comparable.
 
 Env knobs: ``BENCH_N`` (grid edge, default 512), ``BENCH_STEPS`` (timed
-steps, default 10), ``BENCH_PATH`` ("both" [default] / "fused" / "xla"),
+steps, default 30), ``BENCH_PATH`` ("both" [default] / "fused" / "xla"),
 ``BENCH_TILES`` ("B0,B1" tile override for the fused kernel),
-``BENCH_BAND=1`` (benchmark the active-tile narrow-band stepper instead:
-sphere band at BENCH_N^3, reports band cell-updates/s),
+``BENCH_FULL=0`` (headline forward only — skip the extras),
+``BENCH_BAND=1`` (ONLY the active-tile narrow-band stepper: sphere band at
+BENCH_N^3, reports band cell-updates/s; ``BENCH_RETUBE_EVERY`` cadence),
 ``BENCH_VEL=stream`` (stream the velocity field from HBM — the full
 20 B/cell configuration — instead of evaluating it in-kernel),
-``BENCH_GRAD=1`` (time one ``jax.value_and_grad`` FE step — forward plus
-the fused Pallas backward — and report grad-step cell-updates/s).
+``BENCH_GRAD=1`` (ONLY one ``jax.value_and_grad`` FE step — forward plus
+the fused Pallas backward — grad-step cell-updates/s),
+``BENCH_GRAD_ROLLOUT=1`` (ONLY a differentiable multi-step RK3 rollout at
+BENCH_N^3 under step-level remat — ``BENCH_ROLLOUT_STEPS`` steps, default
+20 — the BASELINE config-5 shape).
 """
 
 import json
@@ -248,8 +256,12 @@ def _run_band(lsm, n, steps, dev):
     stepper = FusedBandStepper((term,), nb, lsm.ForwardEuler(),
                                retube_every=retube_every)
     dt = jnp.float32(0.25 * grid.min_spacing)
-    state = stepper.pack(nb)
-    band_cells = int(jax.device_get(jnp.sum(state.cmask != 0)))
+    # consuming pack + eager drop of construction-time buffers: the 768^3
+    # band state is ~11 GB and the dense field + masks another ~2.6 GB —
+    # donation is the difference between fitting HBM and OOM there
+    state = stepper.pack_consuming(nb)
+    del phi, nb, mask, cmask
+    band_cells = int(jax.device_get(jnp.sum(state.band != 0)))
 
     # stepper.step composes the core jit on the host so untouched buffers
     # never pass through the jit boundary (pass-through donated inputs get
@@ -284,37 +296,69 @@ def _run_band(lsm, n, steps, dev):
     }
 
 
-def main():
-    import lsm_tpu as lsm
+def _run_grad_rollout(lsm, n, nsteps, dev):
+    """value_and_grad of an ``nsteps``-step RK3 rollout at n^3 under the
+    round-5 step-level rematerialization (BENCH_GRAD_ROLLOUT=1) — the
+    BASELINE config-5 differentiable shape-optimization shape. Without remat
+    this OOMs at compile time past ~8 steps at 512^3 (16 GB of stage
+    residuals); with it the residual set is one step-input buffer per step.
+
+    ``unroll=nsteps`` flattens the scan: compiled loop bodies execute
+    op-by-op through the axon tunnel (~100x; docs/perf-notes.md), so the
+    rollout must be a single flat graph to time the device, not the relay."""
+    grid = lsm.Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (n, n, n))
     from lsm_tpu.models import shapes
 
-    n = int(os.environ.get("BENCH_N", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
-    path = os.environ.get("BENCH_PATH", "both")
-    tiles = None
-    if os.environ.get("BENCH_TILES"):
-        tiles = tuple(int(x) for x in os.environ["BENCH_TILES"].split(","))
+    phi = lsm.sample(shapes.zalesak_sphere(), grid, lsm.Periodic(),
+                     dtype=jnp.float32)
+    term = lsm.AdvectionTerm(_rotation_velocity)
+    dt = float(0.25 * grid.min_spacing)
+
+    def loss(values):
+        out, _ = lsm.rollout(lsm.RK3(), (term,), phi.with_values(values),
+                             0.0, dt, nsteps, unroll=nsteps, remat=True)
+        return jnp.sum(out.values ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    t0 = time.perf_counter()
+    v, g = vg(phi.values)
+    jax.block_until_ready((v, g))
+    compile_s = time.perf_counter() - t0
+    if not bool(jnp.isfinite(v)) or not bool(jnp.isfinite(g[8, 8, 8])):
+        raise RuntimeError("grad rollout produced non-finite output")
+    t0 = time.perf_counter()
+    out = vg(phi.values)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    rate = float(grid.num_nodes) * nsteps / elapsed
+    roofline = _hbm_bw(dev) / 20.0
+    return {
+        "metric": f"grad-rollout cell updates/sec/chip ({n}^3 WENO5 RK3 "
+                  f"value_and_grad {nsteps}-step rollout, remat, "
+                  f"{dev.device_kind})",
+        "value": rate,
+        "unit": "cell-updates/s",
+        "vs_baseline": rate / roofline,
+        "nsteps": nsteps,
+        "total_s": elapsed,
+        "step_ms": elapsed / nsteps * 1e3,
+        "compile_s": compile_s,
+    }
+
+
+def _run_forward(lsm, n, steps, dev, tiles, path, streamed):
+    """Forward FE-step section: fused and/or XLA path at n^3; returns the
+    headline-format dict."""
+    from lsm_tpu.models import shapes
+
     dtype = jnp.float32
-
-    dev = jax.devices()[0]
-
-    if os.environ.get("BENCH_BAND") == "1":
-        print(json.dumps(_run_band(lsm, n, steps, dev)))
-        return
-
-    if os.environ.get("BENCH_GRAD") == "1":
-        streamed = os.environ.get("BENCH_VEL") == "stream"
-        print(json.dumps(_run_grad(lsm, n, steps, dev, streamed)))
-        return
-
     grid = lsm.Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (n, n, n))
     phi = lsm.sample(shapes.zalesak_sphere(), grid, lsm.Periodic(), dtype=dtype)
     dt = dtype(0.25 * grid.min_spacing)
-
     cells = float(grid.num_nodes) * steps
     vel_stream = None
     vmode = ""
-    if os.environ.get("BENCH_VEL") == "stream":
+    if streamed:
         vel_stream = lsm.sample(
             lambda X, Y, Z: (0.5 - Y + 0.0 * (X + Z), X - 0.5 + 0.0 * (Y + Z),
                              0.0 * (X + Y + Z)),
@@ -329,30 +373,120 @@ def main():
                 _log("bench: fused path unsupported for this config")
             else:
                 results["fused"] = cells / elapsed
-                _log(f"bench: fused path {results['fused']/1e9:.2f} G cells/s")
+                _log(f"bench: fused path ({n}^3{vmode}) "
+                     f"{results['fused']/1e9:.2f} G cells/s")
         except Exception:
             _log("bench: fused path FAILED:\n" + traceback.format_exc())
     if path in ("both", "xla") or not results:
-        vel = lsm.sample(
+        vel = vel_stream if vel_stream is not None else lsm.sample(
             lambda X, Y, Z: (0.5 - Y + 0.0 * (X + Z),
                              X - 0.5 + 0.0 * (Y + Z),
                              0.0 * (X + Y + Z)),
             grid, vector=True, dtype=dtype,
         )
         results["xla"] = cells / _run_xla(lsm, phi, vel, dt, steps)
-        _log(f"bench: xla path {results['xla']/1e9:.2f} G cells/s")
+        _log(f"bench: xla path ({n}^3) {results['xla']/1e9:.2f} G cells/s")
 
     used = max(results, key=results.get)
     rate = results[used]
     roofline = _hbm_bw(dev) / 20.0  # 20 B minimum HBM traffic per cell-update
-    result = {
+    return {
         "metric": f"grid-cell updates/sec/chip ({n}^3 WENO5 advection step, "
                   f"{dev.device_kind}{vmode}, best of {sorted(results)}: {used})",
         "value": rate,
         "unit": "cell-updates/s",
         "vs_baseline": rate / roofline,
+        "step_ms": float(grid.num_nodes) / rate * 1e3,
         "paths": {k: v for k, v in results.items()},
     }
+
+
+def main():
+    import lsm_tpu as lsm
+
+    n = int(os.environ.get("BENCH_N", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    path = os.environ.get("BENCH_PATH", "both")
+    tiles = None
+    if os.environ.get("BENCH_TILES"):
+        tiles = tuple(int(x) for x in os.environ["BENCH_TILES"].split(","))
+
+    dev = jax.devices()[0]
+
+    if os.environ.get("BENCH_BAND") == "1":
+        print(json.dumps(_run_band(lsm, n, steps, dev)))
+        return
+
+    if os.environ.get("BENCH_GRAD") == "1":
+        streamed = os.environ.get("BENCH_VEL") == "stream"
+        print(json.dumps(_run_grad(lsm, n, steps, dev, streamed)))
+        return
+
+    if os.environ.get("BENCH_GRAD_ROLLOUT") == "1":
+        nsteps = int(os.environ.get("BENCH_ROLLOUT_STEPS", "20"))
+        print(json.dumps(_run_grad_rollout(lsm, n, nsteps, dev)))
+        return
+
+    streamed = os.environ.get("BENCH_VEL") == "stream"
+    result = _run_forward(lsm, n, steps, dev, tiles, path, streamed)
+
+    # full perf contract (VERDICT r4 next #6): streamed forward, grad step,
+    # band step, and the 768^3 band-vs-dense pair ride in "extras" on the
+    # default run. Each section is independent — one failure logs to stderr
+    # without losing the rest.
+    full = os.environ.get("BENCH_FULL", "1") != "0" and not streamed \
+        and dev.platform != "cpu"
+    if full:
+        extras = {}
+
+        def section(name, fn, *args):
+            try:
+                extras[name] = fn(*args)
+                v = extras[name]
+                _log(f"bench[{name}]: {v['value']/1e9:.2f} G cell-updates/s "
+                     f"({v.get('step_ms', float('nan')):.2f} ms/step)")
+            except Exception:
+                _log(f"bench[{name}] FAILED:\n" + traceback.format_exc())
+
+        def section_subprocess(name, env_extra):
+            """Run one section in a FRESH process: a 768^3 band state is
+            ~9.3 GB of HBM, and this process's live buffers/compiled programs
+            would tip it over the 16 GB chip (measured RESOURCE_EXHAUSTED);
+            a clean process also releases everything on exit."""
+            import subprocess
+
+            try:
+                env = dict(os.environ, **env_extra)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, timeout=1200)
+                if out.returncode != 0:
+                    raise RuntimeError(out.stderr[-2000:])
+                extras[name] = json.loads(out.stdout.strip().splitlines()[-1])
+                v = extras[name]
+                _log(f"bench[{name}]: {v['value']/1e9:.2f} G cell-updates/s "
+                     f"({v.get('step_ms', float('nan')):.2f} ms/step)")
+            except Exception:
+                _log(f"bench[{name}] FAILED:\n" + traceback.format_exc())
+
+        section("forward_streamed", _run_forward, lsm, n, steps, dev, tiles,
+                "fused", True)
+        section("grad_step", _run_grad, lsm, n,
+                max(3, min(10, steps // 3)), dev, False)
+        section("band", _run_band, lsm, n, steps, dev)
+        if os.environ.get("BENCH_768", "1") != "0" and n == 512:
+            # the band's winning regime: dense cost grows with volume, the
+            # band stage stays on the interface (VERDICT r4 next #4b)
+            section("dense_768", _run_forward, lsm, 768, max(5, steps // 3),
+                    dev, tiles, "fused", False)
+            section_subprocess("band_768", {
+                "BENCH_BAND": "1", "BENCH_N": "768",
+                "BENCH_STEPS": str(max(5, steps // 3)), "BENCH_FULL": "0"})
+            if "dense_768" in extras and "band_768" in extras:
+                extras["band_beats_dense_768"] = bool(
+                    extras["band_768"]["step_ms"]
+                    < extras["dense_768"]["step_ms"])
+        result["extras"] = extras
     print(json.dumps(result))
 
 

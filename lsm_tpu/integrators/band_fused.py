@@ -39,10 +39,12 @@ class BandState(NamedTuple):
     """Jittable band-evolution state (a pytree)."""
 
     bufs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (current, spare, spare)
-    mask_p: jnp.ndarray      # active band, PADDED layout in phi's dtype
-    #                          (0/1) — Mosaic rejects bool-dtype DMAs, and the
-    #                          incremental re-tube updates it tile-by-tile
-    cmask: jnp.ndarray       # compute band = mask (+) stencil halo, padded
+    band: jnp.ndarray        # COMBINED mask, PADDED layout in phi's dtype
+    #                          (Mosaic rejects bool DMAs): 0 = outside,
+    #                          1 = compute band only, 2 = active band. One
+    #                          buffer instead of separate mask/cmask — the
+    #                          stage tests != 0 (compute band), the re-tube
+    #                          > 1.5 (active); halves mask HBM (round 5)
     act: jnp.ndarray         # per-tile activity (G0, G1, G2) bool
     ids: jnp.ndarray         # active-tile dispatch list (capacity,)
     count: jnp.ndarray       # live tiles (<= capacity or the list overflowed)
@@ -66,10 +68,13 @@ def supports_band_fused(terms, nb) -> bool:
 
 
 def _default_tiles(shape) -> Tuple[int, int, int]:
+    # round-5 sweep (docs/perf-notes.md): B0=16 amortizes the dim-0 halo and
+    # beats B0=8 at 512^3 (18.8 vs 20.2 ms/step) and 768^3 (39.7 vs 44.7);
+    # B2=384 wins where it divides (768^3: 38.2 ms)
     n0, n1, n2 = shape
-    B0 = next((b for b in (8, 4, 2, 1) if n0 % b == 0))
+    B0 = next((b for b in (16, 8, 4, 2, 1) if n0 % b == 0))
     B1 = next((b for b in (32, 16, 8) if n1 % b == 0), None)
-    B2 = next((b for b in (256, 128) if n2 % b == 0), None)
+    B2 = next((b for b in (384, 256, 128) if n2 % b == 0), None)
     if B1 is None or B2 is None:
         raise ValueError(f"no band tile size fits shape {shape}")
     return (B0, B1, B2)
@@ -185,25 +190,25 @@ class FusedBandStepper:
         # 840 MB buffer at 512^3; measured +8.8 ms/step for the full
         # BandState pass-through)
         # two jits per table: donation must differ (a retube step consumes
-        # mask/cmask via in-place aliasing; a cadence-skipped step must NOT
-        # donate them — the host keeps the originals)
+        # the combined mask via in-place aliasing; a cadence-skipped step
+        # must NOT donate it — the host keeps the original)
         if self._table == "fe":
             self._step_core_rt = jax.jit(
-                lambda A, B, m, c, a, i, t, dt, s:
-                    self._core_fe(A, B, m, c, a, i, True, t, dt, s),
-                donate_argnums=(1, 2, 3))
+                lambda A, B, m, a, i, t, dt, s:
+                    self._core_fe(A, B, m, a, i, True, t, dt, s),
+                donate_argnums=(1, 2))
             self._step_core_nrt = jax.jit(
-                lambda A, B, m, c, a, i, t, dt, s:
-                    self._core_fe(A, B, m, c, a, i, False, t, dt, s),
+                lambda A, B, m, a, i, t, dt, s:
+                    self._core_fe(A, B, m, a, i, False, t, dt, s),
                 donate_argnums=(1,))
         else:
             self._step_core_rt = jax.jit(
-                lambda A, B, C, m, c, a, i, t, dt, s:
-                    self._core_rk(A, B, C, m, c, a, i, True, t, dt, s),
-                donate_argnums=(1, 2, 3, 4))
+                lambda A, B, C, m, a, i, t, dt, s:
+                    self._core_rk(A, B, C, m, a, i, True, t, dt, s),
+                donate_argnums=(1, 2, 3))
             self._step_core_nrt = jax.jit(
-                lambda A, B, C, m, c, a, i, t, dt, s:
-                    self._core_rk(A, B, C, m, c, a, i, False, t, dt, s),
+                lambda A, B, C, m, a, i, t, dt, s:
+                    self._core_rk(A, B, C, m, a, i, False, t, dt, s),
                 donate_argnums=(1, 2))
         self._cfl = jax.jit(self._cfl_impl)
         # pack as ONE compiled graph: eagerly it is ~20 separate ops, each a
@@ -215,6 +220,16 @@ class FusedBandStepper:
     def pack(self, nb: NarrowBandField) -> BandState:
         return self._pack(nb.values, nb.mask, nb.compute_mask)
 
+    def pack_consuming(self, nb: NarrowBandField) -> BandState:
+        """Pack with the field's arrays DONATED: XLA frees the dense values
+        and masks as the padded buffers are built, cutting the pack-time HBM
+        peak by ~2.6 GB at 768^3 — the margin between fitting and
+        RESOURCE_EXHAUSTED there. ``nb`` must not be used afterwards."""
+        if not hasattr(self, "_pack_don"):
+            self._pack_don = jax.jit(self._pack_impl,
+                                     donate_argnums=(0, 1, 2))
+        return self._pack_don(nb.values, nb.mask, nb.compute_mask)
+
     def _pack_impl(self, values, nb_mask, compute_mask) -> BandState:
         cm = compute_mask[None] if self.is2d else compute_mask
         if self.is2d:
@@ -224,10 +239,15 @@ class FusedBandStepper:
         # fresh copies: step() donates the state, and aliasing the caller's
         # mask arrays would delete them out from under the NarrowBandField
         mask3 = nb_mask[None] if self.is2d else nb_mask
-        mask_p = bp.pack_band_mask(mask3, Q.dtype)
-        cmask = bp.pack_band_mask(cm, Q.dtype)
+        # combined encoding: cmask + mask as 0/1 sums (mask ⊆ cmask → 0/1/2)
+        band = (bp.pack_band_mask(cm, Q.dtype)
+                + bp.pack_band_mask(mask3, Q.dtype))
         act = bp.tile_activity(cm, self.tiles)
-        return BandState((Q, Q + 0.0, Q + 0.0), mask_p, cmask, act, ids, count)
+        # FE ping-pongs TWO buffers; the third slot is a scalar placeholder
+        # (a real third buffer is 2.8 GB dead weight at 768^3 — the size
+        # that decides whether the 768^3 band state fits HBM at all)
+        spare2 = Q + 0.0 if self._table != "fe" else jnp.zeros((), Q.dtype)
+        return BandState((Q, Q + 0.0, spare2), band, act, ids, count)
 
     def unpack(self, state: BandState) -> NarrowBandField:
         # fail loud on a dispatch-list overflow (count > capacity means tiles
@@ -247,8 +267,9 @@ class FusedBandStepper:
                 jax.errors.TracerIntegerConversionError):
             pass
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
-        cmask = bp.unpack_band_padded(state.cmask, self.shape) != 0
-        mask = bp.unpack_band_padded(state.mask_p, self.shape) != 0
+        ub = bp.unpack_band_padded(state.band, self.shape)
+        cmask = ub != 0
+        mask = ub > 1.5
         if self.is2d:
             values, cmask, mask = values[0], cmask[0], mask[0]
         return NarrowBandField(
@@ -276,15 +297,18 @@ class FusedBandStepper:
             (spec, tuple(next(it) for _ in arrs)) for spec, arrs in self.specs
         )
 
-    def _stage(self, src, dst, ids, cmask, specs, coeffs, t_stage, aux):
+    def _stage(self, src, dst, ids, cmask, specs, coeffs, t_stage, aux,
+               flags=None):
         # differentiable composite: Pallas active-tile stage + in-place
         # Pallas shell refresh forward (XLA's .at[].set costs a full pass
         # over the band buffer PER SHELL — docs/perf-notes.md), custom VJP
-        # backward
+        # backward. ``flags`` gates the refresh to faces the active set
+        # touches (the lane-shell pass alone costs ~33 ms at 768^3 when run
+        # unconditionally — docs/profile_r5_band.py).
         return bp.band_step_stage(
             src, dst, ids, cmask, specs, coeffs, t_stage, aux,
             self.bcs, self.spacing, self.shape, self.lo, self.tiles,
-            interpret=self.interpret,
+            interpret=self.interpret, flags=flags,
         )
 
     def _step_impl(self, state: BandState, t, dt, retube: bool = True):
@@ -295,59 +319,68 @@ class FusedBandStepper:
     def _step_full(self, state: BandState, t, dt, retube, streams):
         specs = self._specs_with(streams)
         A, B, C = state.bufs
-        ids, cmask = state.ids, state.cmask
+        ids, cmask = state.ids, state.band
+        fl = bp.refresh_flags_from_activity(state.act)
         t = jnp.asarray(t, A.dtype)
         dt = jnp.asarray(dt, A.dtype)
         if self._table == "fe":
-            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None,
+                            fl)
             cur, s1, s2 = B, A, C
         elif self._table == "rk2":
-            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None,
+                            fl)
             C = self._stage(B, C, ids, cmask, specs, (0.5, 0.5, 0.5 * dt),
-                            t + dt, A)
+                            t + dt, A, fl)
             cur, s1, s2 = C, A, B
         else:
-            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None,
+                            fl)
             C = self._stage(B, C, ids, cmask, specs, (0.75, 0.25, 0.25 * dt),
-                            t + dt, A)
+                            t + dt, A, fl)
             third = 1.0 / 3.0
             B = self._stage(
                 C, B, ids, cmask, specs, (third, 2.0 * third, 2.0 * third * dt),
-                t + 0.5 * dt, A,
+                t + 0.5 * dt, A, fl,
             )
             cur, s1, s2 = B, A, C
 
         if not retube:  # cadence-skipped step: masks/dispatch stay as-is
-            return BandState((cur, s1, s2), state.mask_p, cmask, state.act,
+            return BandState((cur, s1, s2), state.band, state.act,
                              ids, state.count)
 
         if self._incremental:
             return self._retube_incremental(cur, s1, s2, state)
         return self._retube_full(cur, s1, s2, state)
 
+    def _combined_from(self, mask, cmask, dtype):
+        m3 = mask[None] if self.is2d else mask
+        cm3 = cmask[None] if self.is2d else cmask
+        return (bp.pack_band_mask(cm3, dtype)
+                + bp.pack_band_mask(m3, dtype))
+
     def _retube_full(self, cur, s1, s2, state: BandState) -> BandState:
         """Full-grid re-tube (``update_band!`` semantics) + dispatch rebuild
         — O(grid) XLA passes; the pack-time baseline and the fallback when
         the incremental candidate list overflows."""
         values = bp.unpack_band_padded(cur, self.shape)
-        prev_mask = bp.unpack_band_padded(state.mask_p, self.shape) != 0
+        prev_mask = bp.unpack_band_padded(state.band, self.shape) > 1.5
         if self.is2d:
             values, prev_mask = values[0], prev_mask[0]
         mask = band_mask_from_values(values, self.nlayers, prev_mask)
         cmask = box_dilate(mask, NarrowBandField.COMPUTE_HALO)
-        m3 = mask[None] if self.is2d else mask
-        cm3 = cmask[None] if self.is2d else cmask
+        cm3 = (cmask[None] if self.is2d else cmask)
         ids, count = bp.active_tile_ids(cm3, self.tiles, self.capacity)
         act = bp.tile_activity(cm3, self.tiles)
         return BandState(
-            (cur, s1, s2), bp.pack_band_mask(m3, cur.dtype),
-            bp.pack_band_mask(cm3, cur.dtype), act, ids, count)
+            (cur, s1, s2), self._combined_from(mask, cmask, cur.dtype),
+            act, ids, count)
 
     def _retube_incremental(self, cur, s1, s2, state: BandState) -> BandState:
         """Interface-proportional re-tube (round 4): only tiles within one
         tile of the active set can change (reach = 1 + nlayers +
         COMPUTE_HALO <= min tile dim, validated at construction), so the
-        mask/cmask kernels run over the candidate list only. Falls back to
+        mask kernel runs over the candidate list only. Falls back to
         the full re-tube in-graph when the candidate list overflows."""
         cand = box_dilate(state.act, 1)  # tile grid — trivial
         ccount = jnp.sum(cand, dtype=jnp.int32)
@@ -356,81 +389,84 @@ class FusedBandStepper:
         cids = cids.astype(jnp.int32)
 
         def incremental(args):
-            cur, mask_p, cmask_p, act = args
-            mask_p, cmask_p, flags = bp.band_retube_incremental_d(
-                cur, mask_p, cmask_p, cids,
+            cur, band_p, act = args
+            band_p, flags = bp.band_retube_incremental_d(
+                cur, band_p, cids,
                 (self.nlayers, NarrowBandField.COMPUTE_HALO, self.shape,
                  self.tiles, self.interpret))
             act_flat = act.ravel()
             safe = jnp.where(cids >= 0, cids, act_flat.shape[0])
             act_new = act_flat.at[safe].set(flags > 0,
                                             mode="drop").reshape(act.shape)
-            return mask_p, cmask_p, act_new
+            return band_p, act_new
 
         def full(args):
-            cur, mask_p, cmask_p, act = args
+            cur, band_p, act = args
             values = bp.unpack_band_padded(cur, self.shape)
-            prev_mask = bp.unpack_band_padded(mask_p, self.shape) != 0
+            prev_mask = bp.unpack_band_padded(band_p, self.shape) > 1.5
             if self.is2d:
                 values, prev_mask = values[0], prev_mask[0]
             mask = band_mask_from_values(values, self.nlayers, prev_mask)
             cmask = box_dilate(mask, NarrowBandField.COMPUTE_HALO)
-            m3 = mask[None] if self.is2d else mask
-            cm3 = cmask[None] if self.is2d else cmask
-            return (bp.pack_band_mask(m3, cur.dtype),
-                    bp.pack_band_mask(cm3, cur.dtype),
+            cm3 = (cmask[None] if self.is2d else cmask)
+            return (self._combined_from(mask, cmask, cur.dtype),
                     bp.tile_activity(cm3, self.tiles))
 
-        mask_p, cmask_p, act = jax.lax.cond(
+        band_p, act = jax.lax.cond(
             ccount <= self.cand_capacity, incremental, full,
-            (cur, state.mask_p, state.cmask, state.act))
+            (cur, state.band, state.act))
         act_int = act.ravel()
         count = jnp.sum(act_int, dtype=jnp.int32)
         (ids,) = jnp.nonzero(act_int, size=self.capacity, fill_value=-1)
-        return BandState((cur, s1, s2), mask_p, cmask_p, act,
+        return BandState((cur, s1, s2), band_p, act,
                          ids.astype(jnp.int32), count)
 
-    def _retube_outputs(self, cur, mask_p, cmask, act):
-        """(mask_p', cmask', act', ids', count') for the post-stage state."""
-        st8 = BandState((cur, cur, cur), mask_p, cmask, act,
+    def _retube_outputs(self, cur, band, act):
+        """(band', act', ids', count') for the post-stage state."""
+        st8 = BandState((cur, cur, cur), band, act,
                         jnp.zeros((1,), jnp.int32), jnp.zeros((), jnp.int32))
         if self._incremental:
             out = self._retube_incremental(cur, cur, cur, st8)
         else:
             out = self._retube_full(cur, cur, cur, st8)
-        return out.mask_p, out.cmask, out.act, out.ids, out.count
+        return out.band, out.act, out.ids, out.count
 
-    def _core_fe(self, A, B, mask_p, cmask, act, ids, retube, t, dt, streams):
+    def _core_fe(self, A, B, band, act, ids, retube, t, dt, streams):
         specs = self._specs_with(streams)
+        fl = bp.refresh_flags_from_activity(act)
         t = jnp.asarray(t, A.dtype)
         dt = jnp.asarray(dt, A.dtype)
-        cur = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
+        cur = self._stage(A, B, ids, band, specs, (0.0, 1.0, dt), t, None,
+                          fl)
         if not retube:
             return (cur,)
-        return (cur,) + self._retube_outputs(cur, mask_p, cmask, act)
+        return (cur,) + self._retube_outputs(cur, band, act)
 
-    def _core_rk(self, A, B, C, mask_p, cmask, act, ids, retube, t, dt,
+    def _core_rk(self, A, B, C, band, act, ids, retube, t, dt,
                  streams):
         specs = self._specs_with(streams)
+        fl = bp.refresh_flags_from_activity(act)
         t = jnp.asarray(t, A.dtype)
         dt = jnp.asarray(dt, A.dtype)
         if self._table == "rk2":
-            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
-            cur = self._stage(B, C, ids, cmask, specs, (0.5, 0.5, 0.5 * dt),
-                              t + dt, A)
+            B = self._stage(A, B, ids, band, specs, (0.0, 1.0, dt), t, None,
+                            fl)
+            cur = self._stage(B, C, ids, band, specs, (0.5, 0.5, 0.5 * dt),
+                              t + dt, A, fl)
             spare = B
         else:
-            B = self._stage(A, B, ids, cmask, specs, (0.0, 1.0, dt), t, None)
-            C = self._stage(B, C, ids, cmask, specs, (0.75, 0.25, 0.25 * dt),
-                            t + dt, A)
+            B = self._stage(A, B, ids, band, specs, (0.0, 1.0, dt), t, None,
+                            fl)
+            C = self._stage(B, C, ids, band, specs, (0.75, 0.25, 0.25 * dt),
+                            t + dt, A, fl)
             third = 1.0 / 3.0
-            cur = self._stage(C, B, ids, cmask, specs,
+            cur = self._stage(C, B, ids, band, specs,
                               (third, 2.0 * third, 2.0 * third * dt),
-                              t + 0.5 * dt, A)
+                              t + 0.5 * dt, A, fl)
             spare = C
         if not retube:
             return (cur, spare)
-        return (cur, spare) + self._retube_outputs(cur, mask_p, cmask, act)
+        return (cur, spare) + self._retube_outputs(cur, band, act)
 
     def step(self, state: BandState, t, dt, retube: bool = True) -> BandState:
         """One accepted step. ``retube=False`` skips the re-tube — valid
@@ -440,19 +476,19 @@ class FusedBandStepper:
         A, B, C = state.bufs
         core = self._step_core_rt if retube else self._step_core_nrt
         if self._table == "fe":
-            outs = core(A, B, state.mask_p, state.cmask, state.act,
+            outs = core(A, B, state.band, state.act,
                         state.ids, t, dt, self._stream_args)
             bufs = (outs[0], A, C)
         else:
-            outs = core(A, B, C, state.mask_p, state.cmask, state.act,
+            outs = core(A, B, C, state.band, state.act,
                         state.ids, t, dt, self._stream_args)
             bufs = (outs[0], A, outs[1])
         k = 1 if self._table == "fe" else 2
         if not retube:
-            return BandState(bufs, state.mask_p, state.cmask, state.act,
+            return BandState(bufs, state.band, state.act,
                              state.ids, state.count)
-        mask_p, cmask, act, ids, count = outs[k:]
-        return BandState(bufs, mask_p, cmask, act, ids, count)
+        band, act, ids, count = outs[k:]
+        return BandState(bufs, band, act, ids, count)
 
     # -- adaptive CFL + overflow recovery -----------------------------------------
 
@@ -460,12 +496,11 @@ class FusedBandStepper:
         from ..terms.terms import compute_cfl
 
         values = bp.unpack_band_padded(state.bufs[0], self.shape)
-        cmask = bp.unpack_band_padded(state.cmask, self.shape) != 0
+        ub = bp.unpack_band_padded(state.band, self.shape)
+        cmask = ub != 0
+        mask = ub > 1.5
         if self.is2d:
-            values, cmask = values[0], cmask[0]
-        mask = bp.unpack_band_padded(state.mask_p, self.shape) != 0
-        if self.is2d:
-            mask = mask[0]
+            values, cmask, mask = values[0], cmask[0], mask[0]
         nb = NarrowBandField(
             values, self.grid2, self.bcs2, mask, self.nlayers,
             _normalized=True, _cmask=cmask,

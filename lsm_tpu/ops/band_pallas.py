@@ -78,24 +78,42 @@ _L = 128
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _lane_pad_extra(n2: int) -> int:
+    """Extra right-side junk lanes breaking a power-of-two row pitch.
+
+    The padded row pitch is ``(n2 + 2L) * 4`` bytes; when it is a multiple
+    of 4096 B every 512 B run of a lane-strided DMA (the shell-refresh and
+    re-tube access pattern) lands on the same HBM bank set and per-run
+    throughput collapses ~16x — measured at 768^3 (pitch 4096 B: the lane
+    shells cost 33 ms) vs 640^3/512^3 (pitch 3584/3072 B: ~2-3 ms scaled).
+    All band-layout consumers index from the LEFT, so junk lanes on the
+    right are invisible to them."""
+    extra = 0
+    while (n2 + 2 * _L + extra) % 1024 == 0:
+        extra += 128
+    return extra
+
+
 def band_padded_shape(shape) -> Tuple[int, int, int]:
     n0, n1, n2 = shape
-    return (n0 + 2 * _G0, n1 + 2 * _G1, n2 + 2 * _L)
+    return (n0 + 2 * _G0, n1 + 2 * _G1, n2 + 2 * _L + _lane_pad_extra(n2))
 
 
 def pack_band_padded(values: jnp.ndarray, bcs) -> jnp.ndarray:
     """Interior values -> band-padded layout (ghosts on all three dims at
     offsets (8, 8, 128); junk elsewhere zeroed)."""
     p = _bc.pad_ghost(values, bcs, _G)  # uniform 3-pad, all dims
+    x = _lane_pad_extra(values.shape[2])
     return jnp.pad(
-        p, [(_G0 - _G, _G0 - _G), (_G1 - _G, _G1 - _G), (_L - _G, _L - _G)]
+        p, [(_G0 - _G, _G0 - _G), (_G1 - _G, _G1 - _G), (_L - _G, _L - _G + x)]
     )
 
 
 def pack_band_mask(mask: jnp.ndarray, dtype) -> jnp.ndarray:
     """Node mask -> padded layout (zeros in the pad; phi's dtype for DMA)."""
     return jnp.pad(
-        mask.astype(dtype), [(_G0, _G0), (_G1, _G1), (_L, _L)]
+        mask.astype(dtype),
+        [(_G0, _G0), (_G1, _G1), (_L, _L + _lane_pad_extra(mask.shape[2]))]
     )
 
 
@@ -167,10 +185,23 @@ def _ghost_combo(locs, bc, side, n, P_weights=None):
 
 
 def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             flags: Optional[jnp.ndarray] = None,
+                             phases: Tuple[str, ...] = ("01", "2")) -> jnp.ndarray:
     """In-place Pallas equivalent of :func:`refresh_band_ghosts` (same
     dim 0 -> 1 -> 2 composition). Falls back to the XLA version when the
-    layout constraints do not hold."""
+    layout constraints do not hold.
+
+    ``flags`` (int32 ``(2,)``, traced): ``flags[0]`` gates the dim-0/1
+    shells, ``flags[1]`` the lane shells — zero skips that phase's DMAs
+    inside the kernel (``pl.when``; the buffer passes through aliased, no
+    copies). A shell's content only changes when an ACTIVE tile touches the
+    corresponding grid face, so a band evolution whose interface stays
+    interior skips the whole O(N^2) refresh — which matters doubly at 768^3,
+    where the lane-shell kernel's (C0, S1, 128) strided copies (512 B runs
+    over a 1.9 GB buffer) measure ~33 ms against ~2 ms at 512^3 (round-5
+    probe: HBM efficiency collapses on the scattered-chunk pattern as the
+    buffer outgrows 512^3)."""
     n0, n1, n2 = shape
     dtype = padded.dtype
     maxP = max(
@@ -181,11 +212,16 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
     S0 = n0 + 2 * _G0
     S1 = n1 + 2 * _G1
     C0 = 32  # dim-0 chunk rows for the dim-2 (lane) phase
+    R1 = min(256, S0)  # row-chunk for the dim-1 phase: unchunked, the three
+    # (S0, 8, n2) edge buffers alone are 58 MB at 768^3 — the vmem bound
+    # tripped and this function SILENTLY fell back to the XLA shell refresh
+    # (~58 ms of full-buffer passes, the real cost behind round-5's slow
+    # 768^3 band step). Chunked, each phase stays well under the budget.
     itemsize = jnp.dtype(dtype).itemsize
-    vmem_est = itemsize * (
+    vmem_est = itemsize * max(
         max(_G, maxP + 1) * n1 * n2 + _G * n1 * n2      # dim-0 src + write
-        + 3 * S0 * 8 * n2                               # dim-1 A/B/write
-        + 3 * C0 * S1 * _L                              # dim-2 A/B/write
+        + 3 * R1 * 8 * n2,                              # dim-1 A/B/write
+        3 * C0 * S1 * _L,                               # dim-2 A/B/write
     )
     if (
         not _HAS_PALLAS
@@ -199,120 +235,136 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
         return refresh_band_ghosts(padded, bcs, shape)
     K0 = max(_G, maxP + 1)
     nchunks = -(-S0 // C0)
+    if flags is None:
+        flags = jnp.ones((2,), jnp.int32)
+    flags = jnp.asarray(flags, jnp.int32)
 
-    def kernel01(o_in, o_ref, src0, w0, eA, eB, e1w, sem):
+    def kernel01(o_in, f_ref, o_ref, src0, w0, eA, eB, e1w, sem):
         del o_in
 
-        def copy(src, dst):
-            cp = pltpu.make_async_copy(src, dst, sem)
-            cp.start()
-            cp.wait()
+        @pl.when(f_ref[0] != 0)
+        def _body():
+            def copy(src, dst):
+                cp = pltpu.make_async_copy(src, dst, sem)
+                cp.start()
+                cp.wait()
 
-        # -- dim 0 ------------------------------------------------------------
-        for side, bc in (("left", bcs[0][0]), ("right", bcs[0][1])):
-            if isinstance(bc, _bc.Periodic):
-                r0, K = (_G0 + n0 - 4 if side == "left" else _G0 + 1), _G
-            elif isinstance(bc, _bc.Symmetry):
-                r0, K = (_G0 + 1 if side == "left" else _G0 + n0 - 4), _G
-            else:
-                P = bc.degree
-                r0, K = (_G0 if side == "left" else _G0 + n0 - 1 - P), P + 1
-            copy(o_ref.at[pl.ds(r0, K), pl.ds(_G1, n1), pl.ds(_L, n2)],
-                 src0.at[pl.ds(0, K)])
-            # per-row static-index writes: negative-stride reversal and
-            # jnp.stack along the major dim miscompile under Mosaic (see
-            # weno_v2._dim0_shell)
-            if isinstance(bc, _bc.Periodic):
-                w0[:] = src0[pl.ds(0, K)]
-            elif isinstance(bc, _bc.Symmetry):
-                for g in range(_G):
-                    w0[g] = src0[K - 1 - g]
-            else:
-                P = bc.degree
-                W = _bc._lagrange_extrap_weights(_G, P)
-                if side == "right":
-                    W = W[::-1, ::-1]
-                for g in range(_G):
-                    acc = float(W[g, 0]) * src0[0]
-                    for j in range(1, P + 1):
-                        acc = acc + float(W[g, j]) * src0[j]
-                    w0[g] = acc
-            dst = _G0 - _G if side == "left" else _G0 + n0
-            copy(w0, o_ref.at[pl.ds(dst, _G), pl.ds(_G1, n1), pl.ds(_L, n2)])
+            # -- dim 0 --------------------------------------------------------
+            for side, bc in (("left", bcs[0][0]), ("right", bcs[0][1])):
+                if isinstance(bc, _bc.Periodic):
+                    r0, K = (_G0 + n0 - 4 if side == "left" else _G0 + 1), _G
+                elif isinstance(bc, _bc.Symmetry):
+                    r0, K = (_G0 + 1 if side == "left" else _G0 + n0 - 4), _G
+                else:
+                    P = bc.degree
+                    r0, K = (_G0 if side == "left" else _G0 + n0 - 1 - P), P + 1
+                copy(o_ref.at[pl.ds(r0, K), pl.ds(_G1, n1), pl.ds(_L, n2)],
+                     src0.at[pl.ds(0, K)])
+                # per-row static-index writes: negative-stride reversal and
+                # jnp.stack along the major dim miscompile under Mosaic (see
+                # weno_v2._dim0_shell)
+                if isinstance(bc, _bc.Periodic):
+                    w0[:] = src0[pl.ds(0, K)]
+                elif isinstance(bc, _bc.Symmetry):
+                    for g in range(_G):
+                        w0[g] = src0[K - 1 - g]
+                else:
+                    P = bc.degree
+                    W = _bc._lagrange_extrap_weights(_G, P)
+                    if side == "right":
+                        W = W[::-1, ::-1]
+                    for g in range(_G):
+                        acc = float(W[g, 0]) * src0[0]
+                        for j in range(1, P + 1):
+                            acc = acc + float(W[g, j]) * src0[j]
+                        w0[g] = acc
+                dst = _G0 - _G if side == "left" else _G0 + n0
+                copy(w0, o_ref.at[pl.ds(dst, _G), pl.ds(_G1, n1), pl.ds(_L, n2)])
 
-        # -- dim 1 (from columns incl. fresh dim-0 ghosts) ---------------------
-        copy(o_ref.at[:, pl.ds(_G1, 8), pl.ds(_L, n2)], eA)
-        copy(o_ref.at[:, pl.ds(n1, 8), pl.ds(_L, n2)], eB)
+            # -- dim 1 (from columns incl. fresh dim-0 ghosts), row-chunked
+            # (static chunk starts; the overlapping last chunk is idempotent
+            # — writes target cols [0,8)/[G1+n1,+8), reads cols [G1,G1+8)/
+            # [n1,n1+8), disjoint) ------------------------------------------
+            def locs1(which, col):
+                # near cols 0..7 live in eA at local col; far cols n1-8..n1-1
+                # in eB at local col - (n1 - 8)
+                return (eA, col) if which == "near" else (eB, col - (n1 - 8))
 
-        def locs1(which, col):
-            # near cols 0..7 live in eA at local col; far cols n1-8..n1-1 in
-            # eB at local col - (n1 - 8)
-            return (eA, col) if which == "near" else (eB, col - (n1 - 8))
-
-        for side, bc, off in (("left", bcs[1][0], 0),
-                              ("right", bcs[1][1], _G1 + n1)):
-            combos = _ghost_combo(lambda w, c: locs1(w, c), bc, side, n1)
-            cols = []
-            for recipe in combos:
-                (buf, c0), w = recipe[0]
-                acc = w * buf[:, c0, :]
-                for (buf, c), w in recipe[1:]:
-                    acc = acc + w * buf[:, c, :]
-                cols.append(acc[:, None, :])
-            zero = jnp.zeros((S0, 1, n2), dtype)
-            if side == "left":
-                e1w[:] = jnp.concatenate([zero] * 5 + cols, axis=1)
-            else:
-                e1w[:] = jnp.concatenate(cols + [zero] * 5, axis=1)
-            copy(e1w, o_ref.at[:, pl.ds(off, 8), pl.ds(_L, n2)])
+            for c in range(-(-S0 // R1)):
+                r0c = min(c * R1, S0 - R1)
+                copy(o_ref.at[pl.ds(r0c, R1), pl.ds(_G1, 8), pl.ds(_L, n2)],
+                     eA)
+                copy(o_ref.at[pl.ds(r0c, R1), pl.ds(n1, 8), pl.ds(_L, n2)],
+                     eB)
+                for side, bc, off in (("left", bcs[1][0], 0),
+                                      ("right", bcs[1][1], _G1 + n1)):
+                    combos = _ghost_combo(lambda w, cc: locs1(w, cc), bc,
+                                          side, n1)
+                    cols = []
+                    for recipe in combos:
+                        (buf, c0), w = recipe[0]
+                        acc = w * buf[:, c0, :]
+                        for (buf, cc), w in recipe[1:]:
+                            acc = acc + w * buf[:, cc, :]
+                        cols.append(acc[:, None, :])
+                    zero = jnp.zeros((R1, 1, n2), dtype)
+                    if side == "left":
+                        e1w[:] = jnp.concatenate([zero] * 5 + cols, axis=1)
+                    else:
+                        e1w[:] = jnp.concatenate(cols + [zero] * 5, axis=1)
+                    copy(e1w, o_ref.at[pl.ds(r0c, R1), pl.ds(off, 8),
+                                       pl.ds(_L, n2)])
 
     # -- dim 2 (lane shells): gridded — ONE CHUNK PER PROGRAM. A single
     # unrolled program (17 chunks x ~4 DMAs at 512^3) blows Mosaic's compile
     # time superlinearly past 10 minutes; with the chunk as the grid axis the
     # program body is constant-size and compiles in seconds.
-    def kernel2(o_in, o_ref, zA, zB, zw, sem):
+    def kernel2(o_in, f_ref, o_ref, zA, zB, zw, sem):
         del o_in
         pid = pl.program_id(0)
         r0 = jnp.minimum(pid * C0, jnp.asarray(S0 - C0, pid.dtype))
 
-        def copy(src, dst):
-            cp = pltpu.make_async_copy(src, dst, sem)
-            cp.start()
-            cp.wait()
+        @pl.when(f_ref[1] != 0)
+        def _body():
+            def copy(src, dst):
+                cp = pltpu.make_async_copy(src, dst, sem)
+                cp.start()
+                cp.wait()
 
-        def locs2(which, col):
-            return (zA, col) if which == "near" else (zB, col - (n2 - _L))
+            def locs2(which, col):
+                return (zA, col) if which == "near" else (zB, col - (n2 - _L))
 
-        copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(_L, _L)], zA)
-        copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(n2, _L)], zB)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _L), 2)
-        for side, bc, off in (("left", bcs[2][0], 0),
-                              ("right", bcs[2][1], _L + n2)):
-            combos = _ghost_combo(lambda w, c: locs2(w, c), bc, side, n2)
-            # iota-select, NOT lane concatenation (Mosaic relayouts)
-            acc0 = jnp.zeros((C0, S1, _L), dtype)
-            for g, recipe in enumerate(combos):
-                (buf, c0), w = recipe[0]
-                lane = w * buf[:, :, c0:c0 + 1]
-                for (buf, c), w in recipe[1:]:
-                    lane = lane + w * buf[:, :, c:c + 1]
-                pos = (_L - _G + g) if side == "left" else g
-                acc0 = jnp.where(lane_iota == pos, lane, acc0)
-            zw[:] = acc0
-            copy(zw, o_ref.at[pl.ds(r0, C0), :, pl.ds(off, _L)])
+            copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(_L, _L)], zA)
+            copy(o_ref.at[pl.ds(r0, C0), :, pl.ds(n2, _L)], zB)
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _L), 2)
+            for side, bc, off in (("left", bcs[2][0], 0),
+                                  ("right", bcs[2][1], _L + n2)):
+                combos = _ghost_combo(lambda w, c: locs2(w, c), bc, side, n2)
+                # iota-select, NOT lane concatenation (Mosaic relayouts)
+                acc0 = jnp.zeros((C0, S1, _L), dtype)
+                for g, recipe in enumerate(combos):
+                    (buf, c0), w = recipe[0]
+                    lane = w * buf[:, :, c0:c0 + 1]
+                    for (buf, c), w in recipe[1:]:
+                        lane = lane + w * buf[:, :, c:c + 1]
+                    pos = (_L - _G + g) if side == "left" else g
+                    acc0 = jnp.where(lane_iota == pos, lane, acc0)
+                zw[:] = acc0
+                copy(zw, o_ref.at[pl.ds(r0, C0), :, pl.ds(off, _L)])
 
-    out01 = pl.pallas_call(
+    smem_flags = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out01 = padded if "01" not in phases else pl.pallas_call(
         kernel01,
         grid=(1,),
         out_shape=jax.ShapeDtypeStruct(padded.shape, dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), smem_flags],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((K0, n1, n2), dtype),       # dim-0 source rows
             pltpu.VMEM((_G, n1, n2), dtype),       # dim-0 ghost block
-            pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 edge A (first cols)
-            pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 edge B (last cols)
-            pltpu.VMEM((S0, 8, n2), dtype),        # dim-1 write block
+            pltpu.VMEM((R1, 8, n2), dtype),        # dim-1 edge A (first cols)
+            pltpu.VMEM((R1, 8, n2), dtype),        # dim-1 edge B (last cols)
+            pltpu.VMEM((R1, 8, n2), dtype),        # dim-1 write block
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={0: 0},
@@ -321,12 +373,14 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(padded)
+    )(padded, flags)
+    if "2" not in phases:
+        return out01
     return pl.pallas_call(
         kernel2,
         grid=(nchunks,),
         out_shape=jax.ShapeDtypeStruct(padded.shape, dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), smem_flags],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((C0, S1, _L), dtype),       # dim-2 edge A
@@ -340,7 +394,7 @@ def refresh_band_ghosts_fast(padded: jnp.ndarray, bcs, shape,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(out01)
+    )(out01, flags)
 
 
 # -- active-tile dispatch -----------------------------------------------------------
@@ -673,9 +727,26 @@ def _band_stage_refresh_jnp(padded, out_init, ids, cmask, streams_flat,
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(8,))
-def _band_step_stage_p(padded, out_init, ids, cmask, streams_flat, coeffs, t,
-                       aux, statics):
+def refresh_flags_from_activity(act: jnp.ndarray) -> jnp.ndarray:
+    """int32 ``(2,)`` gates for :func:`refresh_band_ghosts_fast` from the
+    per-tile activity grid: a ghost shell's content changes only when an
+    ACTIVE tile touches that face (ghost sources are the near-face rows,
+    depth <= the boundary tile layer for every supported BC — periodic
+    sources sit at the OPPOSITE face, also covered since both face layers
+    are tested). ``flags[1]`` (lane shells) conservatively includes
+    ``flags[0]``: lane ghosts of dim-0/1 ghost ROWS read the fresh dim-0/1
+    shells."""
+    a = act != 0
+    f0 = jnp.any(a[0]) | jnp.any(a[-1])
+    f1 = jnp.any(a[:, 0]) | jnp.any(a[:, -1])
+    f01 = f0 | f1
+    f2 = jnp.any(a[:, :, 0]) | jnp.any(a[:, :, -1]) | f01
+    return jnp.stack([f01, f2]).astype(jnp.int32)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _band_step_stage_p(padded, out_init, ids, cmask, flags, streams_flat,
+                       coeffs, t, aux, statics):
     specs, stream_counts, bcs, spacing, shape, lo, tiles, interpret = statics
     it = iter(streams_flat)
     sas = tuple(
@@ -684,13 +755,14 @@ def _band_step_stage_p(padded, out_init, ids, cmask, streams_flat, coeffs, t,
     )
     out = band_stage(padded, out_init, ids, cmask, sas, coeffs, t, aux, bcs,
                      spacing, shape, lo, tiles, interpret=interpret)
-    return refresh_band_ghosts_fast(out, bcs, shape, interpret=interpret)
+    return refresh_band_ghosts_fast(out, bcs, shape, interpret=interpret,
+                                    flags=flags)
 
 
-def _bss_fwd(padded, out_init, ids, cmask, streams_flat, coeffs, t, aux,
-             statics):
-    out = _band_step_stage_p(padded, out_init, ids, cmask, streams_flat,
-                             coeffs, t, aux, statics)
+def _bss_fwd(padded, out_init, ids, cmask, flags, streams_flat, coeffs, t,
+             aux, statics):
+    out = _band_step_stage_p(padded, out_init, ids, cmask, flags,
+                             streams_flat, coeffs, t, aux, statics)
     return out, (padded, out_init, ids, cmask, streams_flat, coeffs, t, aux)
 
 
@@ -700,6 +772,9 @@ def _bss_bwd(statics, res, g):
     padded, out_init, ids, cmask, streams_flat, coeffs, t, aux = res
     specs, stream_counts, bcs, spacing, shape, lo, tiles, _ = statics
 
+    # NOTE the oracle recomputes the FULL refresh: when a phase was skipped
+    # in the forward its shells were already consistent, so the full-refresh
+    # composite produces the identical output — same function, same VJP.
     if aux is None:
         def f(p, oi, s, c, tt):
             return _band_stage_refresh_jnp(
@@ -718,8 +793,9 @@ def _bss_bwd(statics, res, g):
         _, vjp = jax.vjp(f, padded, out_init, streams_flat, coeffs, t, aux)
         dp, doi, ds, dc, dt_, da = vjp(g)
     d_ids = np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    d_flags = np.zeros((2,), dtype=jax.dtypes.float0)
     d_cmask = jnp.zeros_like(cmask)
-    return dp, doi, d_ids, d_cmask, ds, dc, dt_, da
+    return dp, doi, d_ids, d_cmask, d_flags, ds, dc, dt_, da
 
 
 _band_step_stage_p.defvjp(_bss_fwd, _bss_bwd)
@@ -727,21 +803,27 @@ _band_step_stage_p.defvjp(_bss_fwd, _bss_bwd)
 
 def band_step_stage(padded, out_init, ids, cmask, term_specs_and_streams,
                     coeffs, t, aux, bcs, spacing, shape, lo, tiles,
-                    interpret=False):
+                    interpret=False, flags=None):
     """Active-tile RK stage + in-place ghost refresh, DIFFERENTIABLE.
 
     Forward runs the Pallas kernels; backward is the VJP of the jnp band
     composite recomputed from primals. The dispatch list and compute mask are
     constants of the differentiation (zero cotangent) — matching the dense
     band path, whose ``where``-masking likewise has zero mask gradients.
+
+    ``flags`` (from :func:`refresh_flags_from_activity`) lets the refresh
+    skip faces no active tile touches; ``None`` refreshes everything.
     """
     specs = tuple(s for s, _ in term_specs_and_streams)
     streams_flat = tuple(a for _, arrs in term_specs_and_streams for a in arrs)
     stream_counts = tuple(len(arrs) for _, arrs in term_specs_and_streams)
     coeffs = tuple(jnp.asarray(c, padded.dtype) for c in coeffs)
+    if flags is None:
+        flags = jnp.ones((2,), jnp.int32)
     statics = (specs, stream_counts, bcs, tuple(spacing), tuple(shape),
                tuple(lo), tuple(tiles), interpret)
-    return _band_step_stage_p(padded, out_init, ids, cmask, streams_flat,
+    return _band_step_stage_p(padded, out_init, ids, cmask,
+                              jnp.asarray(flags, jnp.int32), streams_flat,
                               coeffs, jnp.asarray(t, padded.dtype), aux,
                               statics)
 
@@ -890,24 +972,36 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
         i = t // jnp.asarray(G1 * G2, t.dtype)
         return i, j, k
 
-    def kernel_mask(ids_ref, q_hbm, m_old, m_init, c_init, m_ref, c_ref,
-                    a_ref, pslab, mslab, obuf, cbuf, abuf, isem, msem, osem,
-                    csem, asem):
-        # m_old: the PREVIOUS mask buffer (read-only — every tile's cut
-        # detection must see pre-step masks, not a neighbor program's fresh
-        # write); m_init: aliased to the mask output (XLA copies the old
-        # buffer once so non-candidate tiles keep their values); c_init:
-        # aliased to the cmask output (in place — nothing reads cmask here).
-        # SINGLE PASS: because cmask = dilate(mask, CH) = dilate(stamp,
-        # nlayers + CH), the compute mask and the activity flag come out of
-        # the same slab when nlayers + CH + 2 <= 8 (the halo) — no second
-        # kernel, no second slab fetch. Cross-program double-buffered
-        # prefetch over the candidate list (the band-stage pattern).
-        del m_init, c_init
+    def kernel_mask(ids_ref, q_hbm, band_in, band_ref, stash, a_ref,
+                    pslab, mslab, obuf, abuf, tbuf, isem, msem, osem, asem,
+                    tsem):
+        # COMBINED mask encoding (round 5): one buffer, 0 = outside the
+        # band, 1 = compute-band only, 2 = active band (active ⊆ compute, so
+        # combined = cmask + mask as 0/1 sums). Consumers: the stage tests
+        # ``!= 0`` (compute band — unchanged), the cut detection here tests
+        # ``> 1.5`` (active band). One buffer instead of two halves the
+        # band state's mask memory (the margin that fits 768^3 in HBM).
+        #
+        # TWO PHASES, one kernel, NO full-buffer copy: the old design passed
+        # the buffer twice (read-old + aliased init) and XLA's defensive
+        # copy of the 2.8 GB buffer cost ~30 ms at 768^3. Now phase A
+        # (programs 0..C-1) reads old-mask slabs from the ALIASED buffer and
+        # writes each candidate's fresh tile to an HBM STASH; phase B
+        # (programs C..2C-1) copies the stash back into the buffer. Programs
+        # run sequentially, so every phase-A read completes before any
+        # phase-B write — read-old/write-new ordering with ~1 GB of stash
+        # traffic instead of a 5.7 GB copy.
+        # SINGLE PASS per candidate: because cmask = dilate(mask, CH) =
+        # dilate(stamp, nlayers + CH), the compute mask and the activity
+        # flag come out of the same slab when nlayers + CH + 2 <= 8 (the
+        # halo). Cross-program double-buffered prefetch in both phases.
+        del band_in
         p = pl.program_id(0)
-        tid = ids_ref[p]
-        live = tid >= 0
+        inA = p < capacity
         slot = jax.lax.rem(p, jnp.asarray(2, p.dtype))
+        capm1 = jnp.asarray(capacity - 1, p.dtype)
+        tid = ids_ref[jnp.minimum(p, capm1)]
+        live = jnp.logical_and(inA, tid >= 0)
 
         def dma_p(slot2, t):
             i2, j2, k2 = decode(t)
@@ -918,31 +1012,23 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
         def dma_m(slot2, t):
             i2, j2, k2 = decode(t)
             return pltpu.make_async_copy(
-                m_old.at[pl.ds(i2 * B0, S0), pl.ds(j2 * B1, S1),
-                         pl.ds(k2 * B2, S2)], mslab.at[slot2], msem.at[slot2])
+                band_ref.at[pl.ds(i2 * B0, S0), pl.ds(j2 * B1, S1),
+                            pl.ds(k2 * B2, S2)], mslab.at[slot2],
+                msem.at[slot2])
 
-        def dma_out(slot2, t):
-            i2, j2, k2 = decode(t)
+        def dma_out(slot2, pp):
+            # phase A: fresh tile -> stash row pp (static-indexed by program)
             return pltpu.make_async_copy(
-                obuf.at[slot2],
-                m_ref.at[pl.ds(_G0 + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
-                         pl.ds(_L + k2 * B2, B2)], osem.at[slot2])
-
-        def dma_cout(slot2, t):
-            i2, j2, k2 = decode(t)
-            return pltpu.make_async_copy(
-                cbuf.at[slot2],
-                c_ref.at[pl.ds(_G0 + i2 * B0, B0), pl.ds(_G1 + j2 * B1, B1),
-                         pl.ds(_L + k2 * B2, B2)], csem.at[slot2])
+                obuf.at[slot2], stash.at[pp], osem.at[slot2])
 
         @pl.when(jnp.logical_and(p == 0, live))
         def _():
             dma_p(0, tid).start()
             dma_m(0, tid).start()
 
-        @pl.when(p + 1 < capacity)
+        @pl.when(jnp.logical_and(inA, p + 1 < capacity))
         def _():
-            nxt = ids_ref[jnp.minimum(p + 1, jnp.asarray(capacity - 1, p.dtype))]
+            nxt = ids_ref[jnp.minimum(p + 1, capm1)]
 
             @pl.when(nxt >= 0)
             def _():
@@ -951,7 +1037,7 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
 
         nxt_id = jnp.where(
             p + 1 < capacity,
-            ids_ref[jnp.minimum(p + 1, jnp.asarray(capacity - 1, p.dtype))],
+            ids_ref[jnp.minimum(p + 1, capm1)],
             jnp.asarray(-1, ids_ref.dtype),
         )
 
@@ -984,7 +1070,8 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
 
             anyneg = corner_reduce(pw <= 0.0, jnp.logical_or, e_node)
             anypos = corner_reduce(pw >= 0.0, jnp.logical_or, e_node)
-            allact = corner_reduce(mw != 0.0, jnp.logical_and, e_node)
+            # ACTIVE band in the combined encoding is the value 2
+            allact = corner_reduce(mw > 1.5, jnp.logical_and, e_node)
             cut = anyneg & anypos & allact  # cells (LOCAL), tile ⊕ (na+CH+1)
             # corner stamp, separable: node n is a corner of cells n-1, n
             e_stamp = na + chalo
@@ -1006,14 +1093,12 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
 
                 @pl.when(pm2 >= 0)
                 def _():
-                    dma_out(slot, pm2).wait()
-                    dma_cout(slot, pm2).wait()
+                    dma_out(slot, p - 2).wait()
 
-            obuf[slot] = mask_tile.astype(dtype)
-            cbuf[slot] = cmask_tile.astype(dtype)
-            dma_out(slot, tid).start()
-            dma_cout(slot, tid).start()
-            flag = jnp.max(cbuf[slot])
+            # combined = cmask + mask (mask ⊆ cmask, so values are 0/1/2)
+            obuf[slot] = cmask_tile.astype(dtype) + mask_tile.astype(dtype)
+            dma_out(slot, p).start()
+            flag = jnp.max(obuf[slot])
             li = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
             si = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             abuf[:] = jnp.where(jnp.logical_and(si == 0, li == 0), flag, 0.0)
@@ -1023,8 +1108,7 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
 
             @pl.when(nxt_id < 0)
             def _():
-                dma_out(slot, tid).wait()
-                dma_cout(slot, tid).wait()
+                dma_out(slot, p).wait()
 
                 @pl.when(p >= 1)
                 def _():
@@ -1032,23 +1116,83 @@ def _retube_kernels(B0, B1, B2, grid_dims, nlayers, chalo, dtype, capacity):
 
                     @pl.when(prv >= 0)
                     def _():
-                        dma_out(1 - slot, prv).wait()
-                        dma_cout(1 - slot, prv).wait()
+                        dma_out(1 - slot, p - 1).wait()
+
+        # ---- phase B: stash -> buffer (candidates form a live PREFIX of
+        # the id list, so liveness guards mirror phase A's) ------------------
+        pB = p - jnp.asarray(capacity, p.dtype)
+        pBc = jnp.clip(pB, 0, capm1)
+        tidB = ids_ref[pBc]
+        liveB = jnp.logical_and(p >= capacity, tidB >= 0)
+
+        def dma_stash_in(slot2, pp):
+            return pltpu.make_async_copy(stash.at[pp], tbuf.at[slot2],
+                                         tsem.at[slot2])
+
+        def dma_tile_out(slot2, t):
+            i2, j2, k2 = decode(t)
+            return pltpu.make_async_copy(
+                tbuf.at[slot2],
+                band_ref.at[pl.ds(_G0 + i2 * B0, B0),
+                            pl.ds(_G1 + j2 * B1, B1),
+                            pl.ds(_L + k2 * B2, B2)], osem.at[slot2])
+
+        @pl.when(jnp.logical_and(pB == 0, liveB))
+        def _():
+            dma_stash_in(slot, pBc).start()
+
+        nxtB_id = jnp.where(
+            pB + 1 < capacity,
+            ids_ref[jnp.minimum(jnp.maximum(pB + 1, 0), capm1)],
+            jnp.asarray(-1, ids_ref.dtype),
+        )
+
+        # prefetch the NEXT stash row into 1-slot, after waiting the 1-back
+        # tile-out that last read tbuf[1-slot] (each tile-out is waited
+        # EXACTLY once: by the successor's prefetch, or by the final drain)
+        @pl.when(jnp.logical_and(p >= capacity, nxtB_id >= 0))
+        def _():
+            @pl.when(pB >= 1)
+            def _():
+                prv = ids_ref[jnp.maximum(pBc - 1, 0)]
+
+                @pl.when(prv >= 0)
+                def _():
+                    dma_tile_out(1 - slot, prv).wait()
+
+            dma_stash_in(1 - slot, pB + 1).start()
+
+        @pl.when(liveB)
+        def _():
+            dma_stash_in(slot, pBc).wait()
+            dma_tile_out(slot, tidB).start()
+
+            @pl.when(nxtB_id < 0)
+            def _():
+                dma_tile_out(slot, tidB).wait()
+
+                @pl.when(pB >= 1)
+                def _():
+                    prv = ids_ref[jnp.maximum(pBc - 1, 0)]
+
+                    @pl.when(prv >= 0)
+                    def _():
+                        dma_tile_out(1 - slot, prv).wait()
 
     return kernel_mask
 
 
-def band_retube_incremental(Q, mask_p, cmask_p, cand_ids, nlayers, chalo,
+def band_retube_incremental(Q, band_p, cand_ids, nlayers, chalo,
                             shape, tiles, interpret=False):
     """Incremental re-tube over the candidate tile list — ONE kernel pass.
 
-    ``Q`` the current phi padded buffer; ``mask_p``/``cmask_p`` the padded
-    ACTIVE/COMPUTE mask buffers (phi's dtype; donated/aliased). Returns
-    ``(mask_p, cmask_p, act_flags)`` where ``act_flags[p]`` is nonzero iff
-    candidate ``p``'s tile has any compute-band cell. Requires
-    ``nlayers + chalo + 2 <= 8`` (the layout halo); exact relative to the
-    full-grid re-tube provided every changeable tile is in the candidate
-    list (the active ⊕ 1-tile guarantee; see the module note)."""
+    ``Q`` the current phi padded buffer; ``band_p`` the padded COMBINED mask
+    buffer (0 outside, 1 compute-only, 2 active; phi's dtype;
+    donated/aliased). Returns ``(band_p, act_flags)`` where ``act_flags[p]``
+    is nonzero iff candidate ``p``'s tile has any compute-band cell.
+    Requires ``nlayers + chalo + 2 <= 8`` (the layout halo); exact relative
+    to the full-grid re-tube provided every changeable tile is in the
+    candidate list (the active ⊕ 1-tile guarantee; see the module note)."""
     n0, n1, n2 = shape
     B0, B1, B2 = tiles
     dtype = Q.dtype
@@ -1059,68 +1203,67 @@ def band_retube_incremental(Q, mask_p, cmask_p, cand_ids, nlayers, chalo,
     S0, S1, S2 = B0 + 2 * _G0, B1 + 2 * _G1, B2 + 2 * _L
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
-    mask_new, cmask_new, act_flags = pl.pallas_call(
+    band_new, _stash, act_flags = pl.pallas_call(
         kernel_mask,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(capacity,),
-            in_specs=[anyspec, anyspec, anyspec, anyspec],
+            grid=(2 * capacity,),
+            in_specs=[anyspec, anyspec],
             out_specs=(anyspec, anyspec, anyspec),
             scratch_shapes=[
-                pltpu.VMEM((2, S0, S1, S2), dtype),
-                pltpu.VMEM((2, S0, S1, S2), dtype),
-                pltpu.VMEM((2, B0, B1, B2), dtype),
-                pltpu.VMEM((2, B0, B1, B2), dtype),
-                pltpu.VMEM((8, 128), dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, S0, S1, S2), dtype),   # phi slabs
+                pltpu.VMEM((2, S0, S1, S2), dtype),   # old-mask slabs
+                pltpu.VMEM((2, B0, B1, B2), dtype),   # fresh-tile staging
+                pltpu.VMEM((8, 128), dtype),          # activity flag row
+                pltpu.VMEM((2, B0, B1, B2), dtype),   # phase-B bounce
+                pltpu.SemaphoreType.DMA((2,)),        # phi in
+                pltpu.SemaphoreType.DMA((2,)),        # mask in
+                pltpu.SemaphoreType.DMA((2,)),        # stash/tile out
+                pltpu.SemaphoreType.DMA,              # activity
+                pltpu.SemaphoreType.DMA((2,)),        # stash in
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(mask_p.shape, dtype),
-            jax.ShapeDtypeStruct(cmask_p.shape, dtype),
+            jax.ShapeDtypeStruct(band_p.shape, dtype),
+            jax.ShapeDtypeStruct((capacity, B0, B1, B2), dtype),  # stash
             jax.ShapeDtypeStruct((capacity, 8, 128), dtype),
         ),
-        # alias the INIT copies (args 3/4, counting the prefetch ids) — the
-        # old mask (arg 2) stays readable for every program
-        input_output_aliases={3: 0, 4: 1},
+        # the combined buffer (arg 2, counting the prefetch ids) aliases the
+        # output directly — the two-phase kernel needs NO defensive copy
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(cand_ids, Q, mask_p, mask_p, cmask_p)
-    return mask_new, cmask_new, act_flags[:, 0, 0]
+    )(cand_ids, Q, band_p)
+    return band_new, act_flags[:, 0, 0]
 
 
 from functools import partial as _p4
 
 
-@_p4(jax.custom_vjp, nondiff_argnums=(4,))
-def band_retube_incremental_d(Q, mask_p, cmask_p, cand_ids, statics):
+@_p4(jax.custom_vjp, nondiff_argnums=(3,))
+def band_retube_incremental_d(Q, band_p, cand_ids, statics):
     """Differentiation-safe wrapper: masks are piecewise constant in phi, so
     every cotangent is zero (matching the jnp path, where boolean mask ops
     carry no gradient) — without this the Pallas re-tube kernels would fail
     under ``jax.grad`` in the band rollout."""
     nlayers, chalo, shape, tiles, interpret = statics
-    return band_retube_incremental(Q, mask_p, cmask_p, cand_ids, nlayers,
+    return band_retube_incremental(Q, band_p, cand_ids, nlayers,
                                    chalo, shape, tiles, interpret=interpret)
 
 
-def _bri_fwd(Q, mask_p, cmask_p, cand_ids, statics):
-    out = band_retube_incremental_d(Q, mask_p, cmask_p, cand_ids, statics)
-    return out, (Q, mask_p, cmask_p, cand_ids)
+def _bri_fwd(Q, band_p, cand_ids, statics):
+    out = band_retube_incremental_d(Q, band_p, cand_ids, statics)
+    return out, (Q, band_p, cand_ids)
 
 
 def _bri_bwd(statics, res, g):
     import numpy as _np
 
-    Q, mask_p, cmask_p, cand_ids = res
-    return (jnp.zeros_like(Q), jnp.zeros_like(mask_p),
-            jnp.zeros_like(cmask_p),
+    Q, band_p, cand_ids = res
+    return (jnp.zeros_like(Q), jnp.zeros_like(band_p),
             _np.zeros(cand_ids.shape, dtype=jax.dtypes.float0))
 
 

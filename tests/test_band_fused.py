@@ -211,3 +211,57 @@ def test_unpack_warns_on_dispatch_overflow():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         stepper.unpack(state)  # non-overflowed: silent
+
+
+def test_refresh_flags_skip_interior_band_matches_dense():
+    """Active-aware shell refresh (round 5): an interface that never touches
+    a grid face skips the whole O(N^2) refresh — the evolution must still
+    match the dense band path exactly, and the flags must really be zero
+    (the skip is the 768^3 win: the unconditional lane-shell pass costs
+    ~33 ms there, docs/profile_r5_band.py)."""
+    grid = lsm.Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (64, 64, 384))
+    phi = lsm.sample(shapes.sphere((0.5, 0.5, 0.5), 0.12), grid,
+                     lsm.Extrapolation(2), dtype=jnp.float64)
+    nb = NarrowBandField.from_field(phi)
+    term = lsm.AdvectionTerm(_velf)
+    stepper = FusedBandStepper((term,), nb, lsm.RK2(), tiles=(8, 8, 128),
+                               interpret=True)
+    state = stepper.pack(nb)
+    fl = np.asarray(bp.refresh_flags_from_activity(state.act))
+    assert fl.tolist() == [0, 0], fl  # interior band: every face skipped
+    dt = 0.2 * nb.grid.min_spacing
+    t, ref = 0.0, nb
+    for _ in range(3):
+        state = stepper.step(state, t, dt)
+        ref, _ = dense_step(lsm.RK2(), (term,), ref, t, dt)
+        ref = ref.update_band()
+        t += dt
+    out = stepper.unpack(state)
+    np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
+    assert float(jnp.abs(out.values - ref.values).max()) < 1e-11
+
+
+def test_refresh_flags_fire_on_boundary_band_matches_dense():
+    """A band crossing grid faces must fire the refresh flags and still
+    match the dense band path."""
+    grid = lsm.Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (32, 32, 256))
+    phi = lsm.sample(shapes.sphere((0.15, 0.5, 0.02), 0.25), grid,
+                     bc=[lsm.Extrapolation(2), lsm.Extrapolation(1),
+                         lsm.Symmetry()], dtype=jnp.float64)
+    nb = NarrowBandField.from_field(phi)
+    term = lsm.AdvectionTerm(_velf)
+    stepper = FusedBandStepper((term,), nb, lsm.ForwardEuler(),
+                               tiles=(8, 8, 128), interpret=True)
+    state = stepper.pack(nb)
+    fl = np.asarray(bp.refresh_flags_from_activity(state.act))
+    assert fl.tolist() == [1, 1], fl
+    dt = 0.2 * nb.grid.min_spacing
+    t, ref = 0.0, nb
+    for _ in range(3):
+        state = stepper.step(state, t, dt)
+        ref, _ = dense_step(lsm.ForwardEuler(), (term,), ref, t, dt)
+        ref = ref.update_band()
+        t += dt
+    out = stepper.unpack(state)
+    np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
+    assert float(jnp.abs(out.values - ref.values).max()) < 1e-11
