@@ -450,8 +450,11 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
         t = coef_ref[3]
         # global-grid origin offsets (index units; zero on a single device) —
         # sharded shards evaluate analytic coefficients at GLOBAL coordinates,
-        # exactly as the forward kernel's coef_ref[4:7] (weno_v2._coords_block)
-        off0, off1, off2 = coef_ref[4], coef_ref[5], coef_ref[6]
+        # exactly as the forward kernel's coef_ref[4:7] (weno_v2._coords_block).
+        # NB named og*: ``off0`` already names the slab row offset below — the
+        # shadowing silently fed ``ro + 3`` into the coordinates (caught by
+        # the analytic parity test as a 51% dP error)
+        og0, og1, og2 = coef_ref[4], coef_ref[5], coef_ref[6]
 
         # clamped dim-0 window: interior rows [s0, s0+B0e) (always in range)
         s0 = jnp.clip(i * B0 - 3, 0, n0 - B0 - 6)
@@ -507,9 +510,9 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
             ib = jax.lax.broadcasted_iota(jnp.int32, (1, B1e, 1), 1)
             ic = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2), 2)
             return (
-                lo[0] + (off0 + (s0 + ia).astype(dtype)) * espec[0],
-                lo[1] + (off1 + (j * B1 - 5 + ib).astype(dtype)) * espec[1],
-                lo[2] + (off2 + ic.astype(dtype)) * espec[2],
+                lo[0] + (og0 + (s0 + ia).astype(dtype)) * espec[0],
+                lo[1] + (og1 + (j * B1 - 5 + ib).astype(dtype)) * espec[1],
+                lo[2] + (og2 + ic.astype(dtype)) * espec[2],
             )
 
         # The Hamiltonian is a SUM of per-term (per-axis, for advection)
