@@ -94,8 +94,11 @@ def test_band_overflow_regrows_instead_of_dropping_tiles():
     nb = NarrowBandField.from_field(phi, nlayers=4)
     term = lsm.AdvectionTerm(_vel3)
 
-    # deliberately undersized dispatch list: pack() records count > capacity
-    small = FusedBandStepper((term,), nb, lsm.RK3(), capacity=1, interpret=True)
+    # deliberately undersized dispatch list: pack() records count > capacity.
+    # Small explicit tiles — the swept defaults (B0=16) would make this whole
+    # 16x16x128 grid ONE tile and no capacity could be undersized.
+    small = FusedBandStepper((term,), nb, lsm.RK3(), tiles=(8, 8, 128),
+                             capacity=1, interpret=True)
     state = small.pack(nb)
     _, count = small.cfl(state, 0.0)
     assert int(count) > small.capacity  # the overflow the old API left silent
@@ -124,7 +127,8 @@ def test_integrate_regrows_band_through_public_api():
         terms=lsm.AdvectionTerm(_vel3), ic=nb, integrator=lsm.RK3())
     # prime the cache with an undersized stepper, as if the band had grown
     small = FusedBandStepper(
-        (eq.terms[0],), nb, eq.integrator, capacity=1, interpret=True)
+        (eq.terms[0],), nb, eq.integrator, tiles=(8, 8, 128), capacity=1,
+        interpret=True)
     eq._fast_cache = (eq.terms, eq.integrator, True, small)
     dt = 0.25 * grid.min_spacing
     eq.integrate(1.5 * dt, fast="interpret")
