@@ -11,30 +11,38 @@ This module computes the same cotangents with ONE Pallas kernel pass over
 tiles of the padded layout. Structure (all windows static-shape, DMA offsets
 8-aligned on the sublane dim):
 
-- **Tile-local VJP with an extended evaluation window.** The VJP of a
-  width-3 stencil is a width-3 stencil: the cotangent of ``P`` at ``x`` sums
-  ``g[y] * d out[y]/d P[x]`` over outputs ``y`` within stencil reach of
-  ``x``. Each program owns one ``(B0, B1)`` interior tile, re-evaluates the
-  forward stage on an evaluation window extending ``>= 3`` beyond the tile
-  (rows clamped into the interior, columns padded by the buffer layout), and
-  calls ``jax.vjp`` of that window function ON THE SLAB; the slab cotangent
-  restricted to the owned tile is exact and complete — ring contributions to
-  neighbor-owned cells are recomputed by the neighbors, never double-counted.
+- **Tile-exact VJP with systolic cross-program accumulation (round-5).**
+  The VJP of a width-3 stencil is a width-3 stencil: the cotangent of ``P``
+  at ``x`` sums ``g[y] * d out[y]/d P[x]`` over outputs ``y`` within
+  stencil reach of ``x``. Each program evaluates the stage ONLY at its
+  owned ``(B0, B1)`` tile's outputs (round 4 re-evaluated a +-3..5 ring so
+  each tile's cotangent was complete standalone — a measured 2.25x
+  arithmetic redundancy). The resulting ``dP`` contribution overhangs the
+  tile by the stencil reach (3) on each side; it is staged into an 8-aligned
+  ``(B0+6, B1+16)`` window (zeros in the alignment pad) and ACCUMULATED
+  into a zero-initialized ``dP`` output by read-modify-write — race-free
+  because a Pallas TPU grid with "arbitrary" semantics executes
+  sequentially on one core (the same guarantee the scalar-partials
+  accumulator already relies on), and the RMW read of each program is
+  issued early so it overlaps the VJP compute. Tile-exact outputs also
+  shrink every VJP intermediate from window-sized to tile-sized, which is
+  what lets the backward run wider tiles than round 4 could.
 - **Ghost cotangents, both directions.** Incoming: the cotangent arriving on
   the *output* buffer's ghost shells is folded back into interior edge
   strips (the transpose of ``refresh_ghosts``' linear ghost construction) by
   an in-place Pallas prep kernel (:func:`fold_ghost_cotangent_fast`) — XLA
   ``.at[].add`` would cost a full pass over the 548 MB buffer per strip.
   Outgoing: the stage READS the stored ghosts of the input buffer, so
-  ``dP`` carries cotangents at ghost positions; edge tiles extract them from
-  the slab cotangent (complete by the same reach argument).
+  ``dP`` carries cotangents at ghost positions; edge tiles' overhangs land
+  exactly on the ghost shells because the padded layout's pad widths
+  (``_G = 3`` rows, ``_G1 = 8`` cols) make every staged window fit the
+  buffer — no clamping, no edge special cases.
 - **Scalar cotangents without double counting.** ``d alpha / d beta /
-  d gamma`` are ownership-masked reductions against the saved aux / center /
-  recomputed Hamiltonian (the Hamiltonian rides out of the VJP as an
-  auxiliary primal output); ``dt`` (only when a coordinate-callable
-  coefficient may depend on ``t``) is one ``jax.jvp`` of the window function
-  masked to the owned tile. All accumulate across the sequential grid in a
-  VMEM scratch.
+  d gamma`` are tile reductions against the saved aux / center / recomputed
+  Hamiltonian (the Hamiltonian rides out of the VJP as an auxiliary primal
+  output); ``dt`` (only when a coordinate-callable coefficient may depend
+  on ``t``) is one ``jax.jvp`` of the tile function. All accumulate across
+  the sequential grid in a VMEM scratch.
 
 Oracle: the jnp-composite VJP (``weno_v2._fss_bwd``'s function), which the
 interpret-mode parity tests compare against elementwise. Reference has no
@@ -335,28 +343,30 @@ def _zero_pad_shells(buf: jnp.ndarray, shape, interpret: bool = False) -> jnp.nd
 def _pick_bwd_tiles(shape) -> Tuple[Optional[int], Optional[int]]:
     """Backward tiles are SMALLER than forward tiles: the VJP graph holds
     ~3x the live intermediates of the forward, and Mosaic must fit them in
-    VMEM (measured: an (8, 64) eval window spills ~127 MB of vector
-    registers at 512^3 and fails to compile; (8, 32) fits). The bound below
-    caps the eval-window size so ~60 window-sized live values stay inside
-    the budget. ``LSM_TPU_BWD_TILES=B0,B1`` overrides for tuning."""
+    VMEM. With the round-5 tile-exact outputs the intermediates are
+    tile-sized (not window-sized), so wider tiles fit than round 4 could
+    run. The minimum-size gates route tiny grids to the exact jnp path,
+    where kernel overhead would dominate anyway.
+    ``LSM_TPU_BWD_TILES=B0,B1`` overrides for tuning (b1 must be a multiple
+    of 8 — sublane DMA alignment)."""
     import os
 
     n0, n1, n2 = shape
     if os.environ.get("LSM_TPU_BWD_TILES"):
         b0, b1 = (int(x) for x in os.environ["LSM_TPU_BWD_TILES"].split(","))
-        if n0 % b0 == 0 and n0 >= b0 + 6 and n1 % b1 == 0 and n1 >= b1 + 16:
+        if n0 % b0 == 0 and n1 % b1 == 0 and b1 % 8 == 0 and b1 >= 8:
             return b0, b1
 
     def fits(b0, b1):
-        return (b0 + 6) * (b1 + 10) * n2 * 4 * 60 <= 85 * 1024 * 1024
+        # ~60 live tile-sized VJP values + the 3 window-sized DMA scratches
+        return (b0 * b1 * 60 + 3 * (b0 + 6) * (b1 + 16)) * n2 * 4 \
+            <= 85 * 1024 * 1024
 
-    # measured at 512^3: (8,32) 144.7 ms/grad-step beats (16,16) 149.8 and
-    # (8,16) 189.0; (16,32) exceeds VMEM — prefer B0=8 with the widest B1
-    # that fits
+    # preference order set by the round-5 on-chip sweep (docs/perf-notes.md)
     for b0 in (8, 16):
         if n0 % b0 or n0 < b0 + 6:
             continue
-        for b1 in (128, 64, 32, 16, 8):
+        for b1 in (32, 64, 16, 8):
             if n1 % b1 or n1 < b1 + 16 or not fits(b0, b1):
                 continue
             return b0, b1
@@ -401,25 +411,21 @@ def _coef_depends_on_t(fn, dtype) -> bool:
         return True
 
 
-def _roll1(block, shift, width, interpret):
-    """Cyclic roll along the sublane dim by a TRACED shift (stream-window
-    alignment): ``out[:, q] = block[:, (q + shift) % width]``."""
-    if interpret:
-        return jnp.roll(block, -shift, axis=1)
-    return pltpu.roll(block, (width - shift) % width, axis=1)
-
-
 def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
                      with_aux, needs_dt, lo, dx_min, dtype, interpret):
     n0, n1, n2 = shape
     G0, G1 = grid_dims
     total = G0 * G1
-    B0e, B1e = B0 + 6, B1 + 10
-    S0b, S1b = B0 + 12, B1 + 16
+    # staged contribution window: the owned tile's dP reach (+-3) rounded out
+    # to 8-aligned sublane offsets. Row pad _G = 3 and col pad _G1 = 8 make
+    # every window [i*B0, i*B0+B0+6) x [j*B1, j*B1+B1+16) fit the padded
+    # buffer exactly — including the ghost shells edge overhangs land on.
+    S0w, S1w = B0 + 2 * _G, B1 + 2 * _G1
     n_streams = sum(s.n_streams for s in term_specs)
     espec = [float(h) for h in spacing]
 
-    def kernel(coef_ref, p_hbm, g_hbm, *rest):
+    def kernel(coef_ref, p_hbm, g_hbm, dp0_hbm, *rest):
+        del dp0_hbm  # aliased to dp_hbm (the zero init the RMW accumulates on)
         s_hbm = rest[:n_streams]
         rest = rest[n_streams:]
         if with_aux:
@@ -432,8 +438,8 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
         if with_aux:
             dax_hbm = rest[0]
             rest = rest[1:]
-        (slab, gbuf, dbuf, pacc, sem) = rest[:5]
-        rest = rest[5:]
+        (slab, gbuf, dbuf, rbuf, pacc, sem, rsem) = rest[:7]
+        rest = rest[7:]
         if n_streams:
             sbuf, dsbuf = rest[0], rest[1]
             rest = rest[2:]
@@ -450,68 +456,56 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
         t = coef_ref[3]
         # global-grid origin offsets (index units; zero on a single device) —
         # sharded shards evaluate analytic coefficients at GLOBAL coordinates,
-        # exactly as the forward kernel's coef_ref[4:7] (weno_v2._coords_block).
-        # NB named og*: ``off0`` already names the slab row offset below — the
-        # shadowing silently fed ``ro + 3`` into the coordinates (caught by
-        # the analytic parity test as a 51% dP error)
+        # exactly as the forward kernel's coef_ref[4:7] (weno_v2._coords_block)
         og0, og1, og2 = coef_ref[4], coef_ref[5], coef_ref[6]
-
-        # clamped dim-0 window: interior rows [s0, s0+B0e) (always in range)
-        s0 = jnp.clip(i * B0 - 3, 0, n0 - B0 - 6)
-        ro = i * B0 - s0          # tile start within the eval window (rows)
-        off0 = ro + 3             # tile start within the slab (rows)
 
         def copy(src, dst):
             cp = pltpu.make_async_copy(src, dst, sem)
             cp.start()
             cp.wait()
 
-        copy(p_hbm.at[pl.ds(s0, S0b), pl.ds(j * B1, S1b), :], slab)
-        copy(g_hbm.at[pl.ds(s0 + _G, B0e), pl.ds(j * B1, S1b), :], gbuf)
+        # RMW read first: it depends only on prior programs' completed
+        # writes (sequential grid), so it overlaps the fetches and the VJP
+        rmw = pltpu.make_async_copy(
+            dp_hbm.at[pl.ds(i * B0, S0w), pl.ds(j * B1, S1w), :], rbuf, rsem)
+        rmw.start()
+        copy(p_hbm.at[pl.ds(i * B0, S0w), pl.ds(j * B1, S1w), :], slab)
+        copy(g_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(_G1 + j * B1, B1), :],
+             gbuf)
         if with_aux:
-            copy(a_hbm.at[pl.ds(s0 + _G, B0e), pl.ds(j * B1, S1b), :], abuf)
+            copy(a_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(_G1 + j * B1, B1), :],
+                 abuf)
         if n_streams:
-            # offset built as 8 * k so Mosaic can PROVE sublane divisibility
-            # (a clip of j*B1 - 8 is 8-divisible but not provably so)
-            cs = 8 * jnp.clip((j * B1) // 8 - 1, 0, (n1 - B1 - 16) // 8)
-            dlt = (j * B1 - 8) - cs  # in {-8, 0, +8}
+            # coefficients are POINTWISE in every term's Hamiltonian, so the
+            # tile-exact outputs need exactly the tile's coefficients — the
+            # round-4 window-roll alignment dance is gone
             for q in range(n_streams):
-                copy(s_hbm[q].at[pl.ds(s0, B0e), pl.ds(cs, S1b), :],
+                copy(s_hbm[q].at[pl.ds(i * B0, B0), pl.ds(j * B1, B1), :],
                      sbuf.at[q])
 
-        # sanitize the slab's junk columns (uninitialized in steady state —
-        # NaN there would poison zero-cotangent products in the VJP). A
-        # linear RAMP, not zeros: an all-constant window has |grad phi| = 0,
-        # where sqrt's infinite derivative times the (zero) cotangent of an
-        # invalid output is NaN — the ramp keeps every junk-window gradient
-        # nonzero while contributing nothing (those outputs' cotangents are
-        # exact zeros).
-        cib = jax.lax.broadcasted_iota(jnp.int32, (1, S1b, 1), 1) + j * B1
-        junk = jnp.logical_or(cib < _G1 - _G, cib >= n1 + _G1 + _G)
-        slab_v = jnp.where(junk, cib.astype(dtype), slab[:])
+        # No junk-column sanitization needed: tile outputs only ever read
+        # cols within reach 3 of the interior, i.e. slab cols [5, B1+11) —
+        # the alignment pad cols [0,5) and [B1+11, B1+16) are never touched
+        # by the window function, so their cotangents are exact zeros.
+        slab_v = slab[:]
 
-        # eval-window coefficient streams: window col b <-> interior col
-        # j*B1 - 5 + b = cs + (3 + dlt) + b
         streams_e = ()
         if n_streams:
-            streams_e = tuple(
-                _roll1(sbuf[q], 3 + dlt, S1b, interpret)[:, :B1e, :]
-                for q in range(n_streams)
-            )
+            streams_e = tuple(sbuf[q] for q in range(n_streams))
 
-        g_e = gbuf[:, 3:3 + B1e, :]
+        g_e = gbuf[:]
         if with_aux:
-            aux_e = abuf[:, 3:3 + B1e, :]
+            aux_e = abuf[:]
 
-        tshape = (B0e, B1e, n2)
+        tshape = (B0, B1, n2)
 
         def coords_for(tt):
-            ia = jax.lax.broadcasted_iota(jnp.int32, (B0e, 1, 1), 0)
-            ib = jax.lax.broadcasted_iota(jnp.int32, (1, B1e, 1), 1)
+            ia = jax.lax.broadcasted_iota(jnp.int32, (B0, 1, 1), 0)
+            ib = jax.lax.broadcasted_iota(jnp.int32, (1, B1, 1), 1)
             ic = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n2), 2)
             return (
-                lo[0] + (og0 + (s0 + ia).astype(dtype)) * espec[0],
-                lo[1] + (og1 + (j * B1 - 5 + ib).astype(dtype)) * espec[1],
+                lo[0] + (og0 + (i * B0 + ia).astype(dtype)) * espec[0],
+                lo[1] + (og1 + (j * B1 + ib).astype(dtype)) * espec[1],
                 lo[2] + (og2 + ic.astype(dtype)) * espec[2],
             )
 
@@ -550,8 +544,9 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
 
         def make_part(spec, lo_s, hfn):
             def fp(slab_in, s_in, tt):
+                # tile output (0,0) sits at slab (_G, _G1) = (3, 8)
                 view = _LaneRollView(slab_in, bcs[2], tshape,
-                                     interpret=interpret, goffs=(3, 3))
+                                     interpret=interpret, goffs=(_G, _G1))
                 center = st.shift(view, (0, 0, 0), 0, tshape)
                 if spec.coef_kind == "analytic":
                     k = 3 if spec.kind == "advection" else 1
@@ -567,8 +562,8 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
             return fp
 
         neg_g = -gamma * g_e
-        center_e = slab_v[3:3 + B0e, 3:3 + B1e, :]
-        dslab = jnp.zeros((S0b, S1b, n2), dtype)
+        center_e = slab_v[_G:_G + B0, _G1:_G1 + B1, :]
+        dslab = jnp.zeros((S0w, S1w, n2), dtype)
         ham_e = jnp.zeros(tshape, dtype)
         dstreams_e = list(jnp.zeros(tshape, dtype) for _ in range(len(streams_e)))
         dt_ham = jnp.zeros(tshape, dtype)
@@ -587,21 +582,14 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
                                    (t,), (one_t,))
                 dt_ham = dt_ham + dh_dt
 
-        # ownership mask: exactly the owned tile inside the eval window
-        ria = jax.lax.broadcasted_iota(jnp.int32, (B0e, 1, 1), 0)
-        cia = jax.lax.broadcasted_iota(jnp.int32, (1, B1e, 1), 1)
-        own = jnp.logical_and(
-            jnp.logical_and(ria >= ro, ria < ro + B0),
-            jnp.logical_and(cia >= 5, cia < 5 + B1),
-        )
+        # tile-exact outputs: every reduction is over exactly the owned tile,
+        # no ownership masking needed
         zero = jnp.zeros((), dtype)
-        g_own = jnp.where(own, g_e, zero)
-        dbeta = jnp.sum(g_own * jnp.where(own, center_e, zero))
-        dgamma = -jnp.sum(g_own * jnp.where(own, ham_e, zero))
-        dalpha = (jnp.sum(g_own * jnp.where(own, aux_e, zero))
-                  if with_aux else zero)
+        dbeta = jnp.sum(g_e * center_e)
+        dgamma = -jnp.sum(g_e * ham_e)
+        dalpha = jnp.sum(g_e * aux_e) if with_aux else zero
         if needs_dt:
-            dt_part = jnp.sum(g_own * jnp.where(own, -gamma * dt_ham, zero))
+            dt_part = jnp.sum(g_e * (-gamma) * dt_ham)
         else:
             dt_part = zero
 
@@ -626,70 +614,31 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
         def _():
             copy(pacc, part_hbm)
 
-        # dP: the owned interior tile, plus ghost shells for edge tiles.
-        # The linear beta*center piece lands here as a ref-slice add (a
-        # value-level .at[].add lowers to scatter-add, unimplemented in
-        # Mosaic).
-        dbuf[:] = dslab
-        dbuf[3:3 + B0e, 3:3 + B1e, :] = (
-            dbuf[3:3 + B0e, 3:3 + B1e, :] + beta * g_e)
-        copy(dbuf.at[pl.ds(off0, B0), pl.ds(8, B1), :],
-             dp_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(_G1 + j * B1, B1), :])
+        # dP: accumulate the staged contribution window onto the running
+        # dP buffer (RMW against rbuf, prefetched at program start). dslab
+        # already carries the overhangs — including ghost-shell cotangents
+        # at physical edges — and exact zeros in the alignment pad (those
+        # columns are never read by any tile output). The linear beta*center
+        # piece lands as a ref-slice add (a value-level .at[].add lowers to
+        # scatter-add, unimplemented in Mosaic).
+        rmw.wait()
+        dbuf[:] = dslab + rbuf[:]
+        dbuf[_G:_G + B0, _G1:_G1 + B1, :] = (
+            dbuf[_G:_G + B0, _G1:_G1 + B1, :] + beta * g_e)
+        copy(dbuf, dp_hbm.at[pl.ds(i * B0, S0w), pl.ds(j * B1, S1w), :])
 
-        @pl.when(i == 0)
-        def _():  # bottom ghost rows (slab rows 0..2 since s0 == 0)
-            copy(dbuf.at[pl.ds(0, _G), pl.ds(8, B1), :],
-                 dp_hbm.at[pl.ds(0, _G), pl.ds(_G1 + j * B1, B1), :])
-
-        @pl.when(i == G0 - 1)
-        def _():  # top ghost rows (slab rows B0+9..B0+11 since s0 == n0-B0-6)
-            copy(dbuf.at[pl.ds(B0 + 9, _G), pl.ds(8, B1), :],
-                 dp_hbm.at[pl.ds(_G + n0, _G), pl.ds(_G1 + j * B1, B1), :])
-
-        @pl.when(j == 0)
-        def _():  # left ghost cols + junk (slab cols 0..7; junk cots are 0)
-            copy(dbuf.at[pl.ds(off0, B0), pl.ds(0, 8), :],
-                 dp_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(0, 8), :])
-
-            @pl.when(i == 0)
-            def _():
-                copy(dbuf.at[pl.ds(0, _G), pl.ds(0, 8), :],
-                     dp_hbm.at[pl.ds(0, _G), pl.ds(0, 8), :])
-
-            @pl.when(i == G0 - 1)
-            def _():
-                copy(dbuf.at[pl.ds(B0 + 9, _G), pl.ds(0, 8), :],
-                     dp_hbm.at[pl.ds(_G + n0, _G), pl.ds(0, 8), :])
-
-        @pl.when(j == G1 - 1)
-        def _():  # right ghost cols + junk
-            copy(dbuf.at[pl.ds(off0, B0), pl.ds(B1 + 8, 8), :],
-                 dp_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(n1 + 8, 8), :])
-
-            @pl.when(i == 0)
-            def _():
-                copy(dbuf.at[pl.ds(0, _G), pl.ds(B1 + 8, 8), :],
-                     dp_hbm.at[pl.ds(0, _G), pl.ds(n1 + 8, 8), :])
-
-            @pl.when(i == G0 - 1)
-            def _():
-                copy(dbuf.at[pl.ds(B0 + 9, _G), pl.ds(B1 + 8, 8), :],
-                     dp_hbm.at[pl.ds(_G + n0, _G), pl.ds(n1 + 8, 8), :])
-
-        # dstreams: owned tile slice of the eval-window cotangents. The
-        # cotangent is staged at col offset 3 so the owned tile (window col
-        # 5) sits at scratch col 8 — DMA sublane offsets must be provably
-        # 8-divisible.
+        # dstreams: pointwise coefficients -> tile-exact cotangents, written
+        # straight to the owned tile (aligned: j*B1 is a multiple of 8)
         for q in range(n_streams):
-            dsbuf[q, :, 3:3 + B1e, :] = dstreams_e[q]
+            dsbuf[q] = dstreams_e[q]
         for q in range(n_streams):
-            copy(dsbuf.at[q, pl.ds(ro, B0), pl.ds(8, B1), :],
+            copy(dsbuf.at[q],
                  ds_hbm[q].at[pl.ds(i * B0, B0), pl.ds(j * B1, B1), :])
 
         # daux = alpha * g (pointwise, owned tile); shells zeroed afterwards
         if with_aux:
-            abuf[:] = alpha * gbuf[:]
-            copy(abuf.at[pl.ds(ro, B0), pl.ds(8, B1), :],
+            abuf[:] = alpha * g_e
+            copy(abuf,
                  dax_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(_G1 + j * B1, B1), :])
 
     return kernel
@@ -753,12 +702,14 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
         float(min(spacing)), dtype, interpret,
     )
 
-    B0e, B1e = B0 + 6, B1 + 10
-    S0b, S1b = B0 + 12, B1 + 16
+    S0w, S1w = B0 + 2 * _G, B1 + 2 * _G1
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
-    args = [coef, P, gp, *streams_flat]
-    in_specs = [smem] + [anyspec] * (2 + n_streams)
+    # dP is accumulated by sequential read-modify-write, so it starts as an
+    # explicit zero buffer aliased to the output (arg index 3)
+    dp0 = jnp.zeros(padded_shape(shape), dtype)
+    args = [coef, P, gp, dp0, *streams_flat]
+    in_specs = [smem] + [anyspec] * (3 + n_streams)
     if with_aux:
         args.append(aux)
         in_specs.append(anyspec)
@@ -776,17 +727,19 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
         out_specs.append(anyspec)
 
     scratch = [
-        pltpu.VMEM((S0b, S1b, n2), dtype),   # P slab
-        pltpu.VMEM((B0e, S1b, n2), dtype),   # g window
-        pltpu.VMEM((S0b, S1b, n2), dtype),   # dslab staging
+        pltpu.VMEM((S0w, S1w, n2), dtype),   # P slab
+        pltpu.VMEM((B0, B1, n2), dtype),     # g tile
+        pltpu.VMEM((S0w, S1w, n2), dtype),   # dP contribution staging
+        pltpu.VMEM((S0w, S1w, n2), dtype),   # RMW read buffer
         pltpu.VMEM((8, 128), dtype),         # scalar accumulator
         pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,             # RMW-read semaphore
     ]
     if n_streams:
-        scratch.append(pltpu.VMEM((n_streams, B0e, S1b, n2), dtype))
-        scratch.append(pltpu.VMEM((n_streams, B0e, S1b, n2), dtype))
+        scratch.append(pltpu.VMEM((n_streams, B0, B1, n2), dtype))
+        scratch.append(pltpu.VMEM((n_streams, B0, B1, n2), dtype))
     if with_aux:
-        scratch.append(pltpu.VMEM((B0e, S1b, n2), dtype))
+        scratch.append(pltpu.VMEM((B0, B1, n2), dtype))
 
     outs = pl.pallas_call(
         kernel,
@@ -795,6 +748,7 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
