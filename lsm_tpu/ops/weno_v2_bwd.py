@@ -424,8 +424,7 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
     n_streams = sum(s.n_streams for s in term_specs)
     espec = [float(h) for h in spacing]
 
-    def kernel(coef_ref, p_hbm, g_hbm, dp0_hbm, *rest):
-        del dp0_hbm  # aliased to dp_hbm (the zero init the RMW accumulates on)
+    def kernel(coef_ref, p_hbm, g_hbm, *rest):
         s_hbm = rest[:n_streams]
         rest = rest[n_streams:]
         if with_aux:
@@ -438,8 +437,8 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
         if with_aux:
             dax_hbm = rest[0]
             rest = rest[1:]
-        (slab, gbuf, dbuf, rbuf, pacc, sem, rsem) = rest[:7]
-        rest = rest[7:]
+        (slab, gbuf, dbuf, rbuf, pacc, sem, rsem, fsem) = rest[:8]
+        rest = rest[8:]
         if n_streams:
             sbuf, dsbuf = rest[0], rest[1]
             rest = rest[2:]
@@ -464,24 +463,36 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
             cp.start()
             cp.wait()
 
-        # RMW read first: it depends only on prior programs' completed
-        # writes (sequential grid), so it overlaps the fetches and the VJP
+        # All fetches are independent: start every DMA, then wait — they
+        # overlap each other (and the RMW read additionally overlaps the VJP
+        # compute; it depends only on prior programs' completed writes, which
+        # the sequential grid guarantees)
         rmw = pltpu.make_async_copy(
             dp_hbm.at[pl.ds(i * B0, S0w), pl.ds(j * B1, S1w), :], rbuf, rsem)
         rmw.start()
-        copy(p_hbm.at[pl.ds(i * B0, S0w), pl.ds(j * B1, S1w), :], slab)
-        copy(g_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(_G1 + j * B1, B1), :],
-             gbuf)
+        fetches = [pltpu.make_async_copy(
+            p_hbm.at[pl.ds(i * B0, S0w), pl.ds(j * B1, S1w), :], slab,
+            fsem.at[0])]
+        fetches.append(pltpu.make_async_copy(
+            g_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(_G1 + j * B1, B1), :],
+            gbuf, fsem.at[1]))
         if with_aux:
-            copy(a_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(_G1 + j * B1, B1), :],
-                 abuf)
+            fetches.append(pltpu.make_async_copy(
+                a_hbm.at[pl.ds(_G + i * B0, B0), pl.ds(_G1 + j * B1, B1), :],
+                abuf, fsem.at[2]))
         if n_streams:
             # coefficients are POINTWISE in every term's Hamiltonian, so the
             # tile-exact outputs need exactly the tile's coefficients — the
             # round-4 window-roll alignment dance is gone
+            base = 3 if with_aux else 2
             for q in range(n_streams):
-                copy(s_hbm[q].at[pl.ds(i * B0, B0), pl.ds(j * B1, B1), :],
-                     sbuf.at[q])
+                fetches.append(pltpu.make_async_copy(
+                    s_hbm[q].at[pl.ds(i * B0, B0), pl.ds(j * B1, B1), :],
+                    sbuf.at[q], fsem.at[base + q]))
+        for f in fetches:
+            f.start()
+        for f in fetches:
+            f.wait()
 
         # No junk-column sanitization needed: tile outputs only ever read
         # cols within reach 3 of the interior, i.e. slab cols [5, B1+11) —
@@ -510,15 +521,20 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
             )
 
         # The Hamiltonian is a SUM of per-term (per-axis, for advection)
-        # contributions, so the backward splits into one small VJP per part
-        # with cotangent ``-gamma * g``. One monolithic VJP of the whole
-        # stage spills ~128 MB of vector registers under Mosaic (measured at
-        # 512^3); per-part graphs keep the live set bounded.
+        # contributions. Advection — the hot configuration — takes the
+        # HAND-DERIVED backward (st.weno5_upwind_fwd_bwd, ~1.3x forward cost
+        # vs jax.vjp's ~2.7x mechanical reverse) with ONE shared linear VJP
+        # for the diff-table transpose; every other term kind keeps one
+        # small jax.vjp per part with cotangent ``-gamma * g``.
         #
         # parts: (spec, stream_lo, ham_fn) where ham_fn(view, coef, center)
-        # recip=None (true division): a custom_vjp fast-reciprocal inside a
-        # kernel-level jax.vjp miscompiles under Mosaic (see weno_v2 note)
+        # recip=None (true division) on the autodiff parts: a custom_vjp
+        # fast-reciprocal inside a kernel-level jax.vjp miscompiles under
+        # Mosaic (see weno_v2 note). The HAND advection backward is plain
+        # forward code, so it takes the Newton-refined pl.reciprocal when
+        # compiled (same as the forward kernel; None in interpret parity)
         recip = None
+        hand_recip = None if interpret else v2._fast_recip
 
         def _adv_axis(ax):
             def fn(view, coef, center):
@@ -527,14 +543,14 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
                     coef[ax], recip)
             return fn
 
+        adv_specs = []
         parts = []
         si = 0
         for spec in term_specs:
             lo_s = si
             si += spec.n_streams
             if spec.kind == "advection":
-                for ax in range(3):
-                    parts.append((spec, lo_s, _adv_axis(ax)))
+                adv_specs.append((spec, lo_s))
             else:
                 def fn(view, coef, center, _spec=spec):
                     return v2._ham_contribution(
@@ -568,11 +584,66 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
         dstreams_e = list(jnp.zeros(tshape, dtype) for _ in range(len(streams_e)))
         dt_ham = jnp.zeros(tshape, dtype)
         one_t = jnp.ones((), dtype)
+        if adv_specs:
+            # ONE linear VJP for the shared diff tables: its transpose (the
+            # only part autodiff computes here) routes the hand-derived
+            # per-difference cotangents back through the lane rolls and
+            # shifted slices onto the slab. Linear => exact, cheap, and free
+            # of the custom-vjp array-residual hazard (_lane_roll's custom
+            # vjp carries a None residual, the documented-safe case).
+            def lin(slab_in):
+                view = _LaneRollView(slab_in, bcs[2], tshape,
+                                     interpret=interpret, goffs=(_G, _G1))
+                return tuple(
+                    tuple(st.weno5_pair_diffs(view, ax, espec[ax], 0, tshape))
+                    for ax in range(3)
+                )
+
+            dm_all, lin_vjp = jax.vjp(lin, slab_v)
+            ddm_sum = [[jnp.zeros(tshape, dtype) for _ in range(6)]
+                       for _ in range(3)]
+            for spec, lo_s in adv_specs:
+                if spec.coef_kind == "analytic":
+                    coef = _as_components(
+                        spec.coef_static(coords_for(t), t), 3)
+                else:  # stream (3 components)
+                    coef = streams_e[lo_s:lo_s + 3]
+                for ax in range(3):
+                    H_ax, ddm_ax, du_ax = st.weno5_upwind_fwd_bwd(
+                        dm_all[ax], coef[ax], neg_g, recip=hand_recip)
+                    ham_e = ham_e + H_ax
+                    if spec.coef_kind == "stream":
+                        dstreams_e[lo_s + ax] = dstreams_e[lo_s + ax] + du_ax
+                    for k in range(6):
+                        ddm_sum[ax][k] = ddm_sum[ax][k] + ddm_ax[k]
+                if needs_dt and spec.coef_kind == "analytic":
+                    # dt rides forward-mode through the analytic coefficient
+                    def adv_of_t(tt, _spec=spec):
+                        cf = _as_components(
+                            _spec.coef_static(coords_for(tt), tt), 3)
+                        out = jnp.zeros(tshape, dtype)
+                        for ax in range(3):
+                            out = out + st.weno5_upwind(
+                                dm_all[ax], cf[ax], recip)
+                        return out
+
+                    _, dh_dt = jax.jvp(adv_of_t, (t,), (one_t,))
+                    dt_ham = dt_ham + dh_dt
+            dslab = dslab + lin_vjp(
+                tuple(tuple(a) for a in ddm_sum))[0]
+
         for spec, lo_s, hfn in parts:
             fp = make_part(spec, lo_s, hfn)
             s_in = streams_e[lo_s:lo_s + spec.n_streams]
-            ham_p, vjp_p = jax.vjp(fp, slab_v, s_in, t)
-            dsl, dstr, _ = vjp_p(neg_g)
+            if needs_dt:
+                ham_p, vjp_p = jax.vjp(fp, slab_v, s_in, t)
+                dsl, dstr, _ = vjp_p(neg_g)
+            else:
+                # no coefficient depends on t (trace-time detected): skip the
+                # t-cotangent chain through the analytic coefficient eval
+                ham_p, vjp_p = jax.vjp(
+                    lambda sl, si: fp(sl, si, t), slab_v, s_in)
+                dsl, dstr = vjp_p(neg_g)
             ham_e = ham_e + ham_p
             dslab = dslab + dsl
             for q in range(spec.n_streams):
@@ -622,7 +693,19 @@ def _make_bwd_kernel(B0, B1, shape, spacing, grid_dims, bcs, term_specs,
         # piece lands as a ref-slice add (a value-level .at[].add lowers to
         # scatter-add, unimplemented in Mosaic).
         rmw.wait()
-        dbuf[:] = dslab + rbuf[:]
+        # fresh-zone masking instead of a whole-buffer zero-init: a region
+        # cell was already written iff it lies in rows the previous row-band
+        # covered (r < i*B0 + 2*_G, any col) or in cols the previous program
+        # covered (c < j*B1 + 2*_G1, any region row). Everything else is
+        # first-touch: take 0, not the uninitialized HBM read (jnp.where
+        # selects, so garbage/NaN never enters arithmetic).
+        rr = jax.lax.broadcasted_iota(jnp.int32, (S0w, 1, 1), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (1, S1w, 1), 1)
+        written = jnp.logical_or(
+            jnp.logical_and(i > 0, rr < 2 * _G),
+            jnp.logical_and(j > 0, cc < 2 * _G1),
+        )
+        dbuf[:] = dslab + jnp.where(written, rbuf[:], jnp.zeros((), dtype))
         dbuf[_G:_G + B0, _G1:_G1 + B1, :] = (
             dbuf[_G:_G + B0, _G1:_G1 + B1, :] + beta * g_e)
         copy(dbuf, dp_hbm.at[pl.ds(i * B0, S0w), pl.ds(j * B1, S1w), :])
@@ -705,11 +788,8 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
     S0w, S1w = B0 + 2 * _G, B1 + 2 * _G1
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
-    # dP is accumulated by sequential read-modify-write, so it starts as an
-    # explicit zero buffer aliased to the output (arg index 3)
-    dp0 = jnp.zeros(padded_shape(shape), dtype)
-    args = [coef, P, gp, dp0, *streams_flat]
-    in_specs = [smem] + [anyspec] * (3 + n_streams)
+    args = [coef, P, gp, *streams_flat]
+    in_specs = [smem] + [anyspec] * (2 + n_streams)
     if with_aux:
         args.append(aux)
         in_specs.append(anyspec)
@@ -734,6 +814,7 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
         pltpu.VMEM((8, 128), dtype),         # scalar accumulator
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,             # RMW-read semaphore
+        pltpu.SemaphoreType.DMA((3 + n_streams,)),  # parallel-fetch sems
     ]
     if n_streams:
         scratch.append(pltpu.VMEM((n_streams, B0, B1, n2), dtype))
@@ -748,7 +829,6 @@ def stage_backward(P, streams_flat, coeffs, t, aux, g, specs, stream_counts,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
-        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,

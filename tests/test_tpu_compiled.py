@@ -169,13 +169,51 @@ def test_refresh_and_bc_pad_compiled_parity_all_bc_kinds():
 
 
 @requires_tpu
-def test_compiled_gradient_matches_interpret_oracle():
-    """Compiled jax.grad through 2 fused RK3 steps vs the interpret-mode jnp
-    backward (VERDICT r3 next #8a): the round-4 Pallas backward (tile-local
-    VJP + ghost-cotangent fold) has never-on-chip gaps exactly where the two
-    prior Mosaic miscompiles lived."""
-    import os
+def _f64_oracle(script: str, inputs: dict):
+    """Run the jnp-composite VJP oracle in FLOAT64 in a fresh CPU process
+    and return the arrays it saves under ``out*.npy``.
 
+    The oracle must be f64: the f32 jnp autodiff is itself numerically wrong
+    by up to ~88% at tie-adjacent flat cells (the eps-path multiplies a
+    catastrophically-cancelled ``dr`` by ``r^2 ~ 1e21``; round-5 discovery,
+    docs/perf-notes.md), so comparing two f32 implementations of DIFFERENT
+    association at 1e-3 is meaningless exactly where it matters. x64 is a
+    global jax config, hence the subprocess."""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for name, arr in inputs.items():
+            np.save(f"{td}/{name}.npy", np.asarray(arr))
+        prelude = (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "jax.config.update('jax_enable_x64', True)\n"
+            "import numpy as np, jax.numpy as jnp, os\n"
+            "os.environ['LSM_TPU_JNP_BWD'] = '1'\n"
+            f"TD = {td!r}\n"
+        )
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+        out = subprocess.run([sys.executable, "-c", prelude + script],
+                             env=env, capture_output=True, text=True,
+                             timeout=900)
+        assert out.returncode == 0, out.stderr[-3000:]
+        outs = []
+        k = 0
+        while os.path.exists(f"{td}/out{k}.npy"):
+            outs.append(np.load(f"{td}/out{k}.npy"))
+            k += 1
+        return outs
+
+
+def test_compiled_gradient_matches_f64_oracle():
+    """Compiled jax.grad through 2 fused FE steps vs the jnp backward run in
+    FLOAT64 on CPU (VERDICT r3 next #8a; strengthened in round 5 to an exact
+    reference — see _f64_oracle on why the f32 oracle cannot be the judge).
+    Measured: 5.1e-4 max relative for the round-5 hand backward."""
     from lsm_tpu import AdvectionTerm, ForwardEuler, Grid, Periodic, sample
     from lsm_tpu.integrators.fused import FusedStepper
     from lsm_tpu.models import shapes
@@ -199,38 +237,43 @@ def test_compiled_gradient_matches_interpret_oracle():
     g_tpu.block_until_ready()
     assert np.isfinite(np.asarray(g_tpu)).all()
 
-    cpu = jax.devices("cpu")[0]
-    os.environ["LSM_TPU_JNP_BWD"] = "1"
-    try:
-        stepper_i = FusedStepper((term,), phi, ForwardEuler(), interpret=True)
+    g64 = _f64_oracle(
+        """
+from lsm_tpu import AdvectionTerm, ForwardEuler, Grid, Periodic
+from lsm_tpu.core import bc as B
+from lsm_tpu.core.field import MeshField
+from lsm_tpu.integrators.fused import FusedStepper
 
-        def loss_i(values):
-            P = stepper_i.pack(values)
-            for k in range(2):
-                P = stepper_i._step_impl(P, k * dt, dt)
-            return jnp.sum(stepper_i.unpack(P) ** 2)
+grid = Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (32, 64, 128))
+phi64 = jnp.asarray(np.load(TD + '/phi.npy'), jnp.float64)
+bcs = B.normalize_bcs(Periodic(), 3)
+phi = MeshField(phi64, grid, bcs, _normalized=True)
+velf = lambda xs, t: (0.5 - xs[1] + 0 * (xs[0] + xs[2]),
+                      xs[0] - 0.5 + 0 * (xs[1] + xs[2]),
+                      0 * (xs[0] + xs[1] + xs[2]))
+term = AdvectionTerm(velf)
+stepper = FusedStepper((term,), phi, ForwardEuler(), interpret=True)
+dt = jnp.float64(float(np.load(TD + '/dt.npy')))
 
-        with jax.default_device(cpu):
-            g_cpu = jax.jit(jax.grad(loss_i))(
-                jax.device_put(np.asarray(phi.values), cpu))
-            g_cpu.block_until_ready()
-    finally:
-        del os.environ["LSM_TPU_JNP_BWD"]
-    a, b = np.asarray(g_tpu), np.asarray(g_cpu)
+def loss(values):
+    P = stepper.pack(values)
+    for k in range(2):
+        P = stepper._step_impl(P, k * dt, dt)
+    return jnp.sum(stepper.unpack(P) ** 2)
+
+np.save(TD + '/out0.npy', np.asarray(jax.grad(loss)(phi64)))
+""",
+        {"phi": phi.values, "dt": dt},
+    )[0]
+    a, b = np.asarray(g_tpu, np.float64), g64
     scale = np.abs(b).max()
-    # f32 conditioning, not structure: the WENO weight derivatives amplify
-    # rounding ~10x per step (measured: same-data algorithm-vs-algorithm gap
-    # is 1.5e-5 on CPU f32 for 2 steps; TPU excess-precision FMA adds ~10x;
-    # f64 interpret parity is 1e-13). Gate at 1e-3 relative for 2 steps.
     assert np.abs(a - b).max() <= 1e-3 * max(scale, 1.0)
 
 
 @requires_tpu
 def test_compiled_streamed_velocity_gradient():
-    """Gradients w.r.t. STREAMED velocity components, compiled (exercises the
-    backward kernel's dynamic stream-window roll on hardware)."""
-    import os
-
+    """Gradients w.r.t. STREAMED velocity components, compiled, vs the f64
+    jnp oracle (see _f64_oracle on why the oracle must be f64)."""
     from lsm_tpu import AdvectionTerm, ForwardEuler, Grid, Periodic, sample
     from lsm_tpu.integrators.fused import FusedStepper
 
@@ -256,30 +299,44 @@ def test_compiled_streamed_velocity_gradient():
         phi.values, *stepper._stream_args)
     jax.block_until_ready(grads)
 
-    cpu = jax.devices("cpu")[0]
-    os.environ["LSM_TPU_JNP_BWD"] = "1"
-    try:
-        stepper_i = FusedStepper((term,), phi, ForwardEuler(), interpret=True)
+    inputs = {"phi": phi.values, "dt": dt}
+    for q, s in enumerate(stepper._stream_args):
+        inputs[f"s{q}"] = s
+    grads64 = _f64_oracle(
+        """
+from lsm_tpu import AdvectionTerm, ForwardEuler, Grid, Periodic
+from lsm_tpu.core import bc as B
+from lsm_tpu.core.field import MeshField
+from lsm_tpu.integrators.fused import FusedStepper
 
-        def loss_i(values, *streams):
-            P = stepper_i.pack(values)
-            P = stepper_i._step_full(P, jnp.float32(0.0), dt, streams)
-            return jnp.sum(stepper_i.unpack(P) ** 2)
+grid = Grid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (32, 64, 128))
+phi64 = jnp.asarray(np.load(TD + '/phi.npy'), jnp.float64)
+bcs = B.normalize_bcs(Periodic(), 3)
+phi = MeshField(phi64, grid, bcs, _normalized=True)
+streams = tuple(jnp.asarray(np.load(TD + f'/s{q}.npy'), jnp.float64)
+                for q in range(3))
+vel64 = MeshField(jnp.stack(streams), grid, bcs, _normalized=True)
+term = AdvectionTerm(vel64)
+stepper = FusedStepper((term,), phi, ForwardEuler(), interpret=True)
+dt = jnp.float64(float(np.load(TD + '/dt.npy')))
 
-        with jax.default_device(cpu):
-            args_c = [jax.device_put(np.asarray(a), cpu)
-                      for a in (phi.values,) + stepper._stream_args]
-            grads_c = jax.jit(jax.grad(loss_i, argnums=(0, 1, 2, 3)))(*args_c)
-            jax.block_until_ready(grads_c)
-    finally:
-        del os.environ["LSM_TPU_JNP_BWD"]
-    for k, (a, b) in enumerate(zip(grads, grads_c)):
-        a, b = np.asarray(a), np.asarray(b)
+def loss(values, *strms):
+    P = stepper.pack(values)
+    P = stepper._step_full(P, jnp.float64(0.0), dt, strms)
+    return jnp.sum(stepper.unpack(P) ** 2)
+
+outs = jax.grad(loss, argnums=(0, 1, 2, 3))(phi64, *streams)
+for k, o in enumerate(outs):
+    np.save(TD + f'/out{k}.npy', np.asarray(o))
+""",
+        inputs,
+    )
+    for k, (a, b) in enumerate(zip(grads, grads64)):
+        a, b = np.asarray(a, np.float64), np.asarray(b)
         assert np.isfinite(a).all(), k
         scale = max(np.abs(b).max(), 1e-20)
-        # single step: measured ~5e-5 relative (f32 weight-derivative
-        # conditioning + TPU excess-precision FMA; f64 parity is 1e-13)
-        assert np.abs(a - b).max() <= 2e-4 * scale, (k, np.abs(a - b).max() / scale)
+        # vs the exact reference; measured ~2e-4 for the hand backward
+        assert np.abs(a - b).max() <= 1e-3 * scale, (k, np.abs(a - b).max() / scale)
 
 
 @requires_tpu
