@@ -174,6 +174,38 @@ def test_extrapolation2_composite_gradient_parity():
     assert err < 1e-12 * max(scale, 1.0), err / scale
 
 
+def test_hand_backward_f32_accuracy_at_tie_cells():
+    """The round-5 discovery, pinned: at WENO-symmetric cells (|v1| == |v5|
+    etc. — ubiquitous on smooth radial fields) the f32 AUTODIFF backward of
+    ``weno5_upwind`` is wrong by order 1 (the eps-path multiplies a
+    catastrophically-cancelled ``dr`` by ``r^2 ~ 1e21``), while the hand
+    backward (``weno5_upwind_fwd_bwd``) matches the f64 ground truth. Both
+    agree exactly in f64 (also asserted)."""
+    from lsm_tpu.ops import stencils as st
+
+    dmv = [0.00313568115234375, 0.003143310546875, 0.00313568115234375, 0.0,
+           -0.00313568115234375, -0.003143310546875]
+    gv = 1.2142245769500732
+
+    def run(dtype):
+        dm = [jnp.asarray([v], dtype) for v in dmv]
+        u = jnp.asarray([-0.5], dtype)
+        g = jnp.asarray([gv], dtype)
+        _, vjp = jax.vjp(lambda d: st.weno5_upwind(d, u), tuple(dm))
+        ddm_ad = vjp(g)[0]
+        _, ddm_hand, _ = st.weno5_upwind_fwd_bwd(dm, u, g)
+        return (np.array([float(d[0]) for d in ddm_ad]),
+                np.array([float(d[0]) for d in ddm_hand]))
+
+    ad64, hand64 = run(jnp.float64)
+    np.testing.assert_allclose(hand64, ad64, rtol=1e-10, atol=1e-14)
+
+    ad32, hand32 = run(jnp.float32)
+    scale = np.abs(ad64).max()
+    assert np.abs(hand32 - ad64).max() < 1e-2 * scale  # hand f32 ~ truth
+    assert np.abs(ad32 - ad64).max() > scale  # f32 autodiff: order-1 wrong
+
+
 def test_small_grid_falls_back_to_jnp():
     """Grids too small for the extended windows silently use the exact jnp
     path — gradients must exist for every supported shape."""
