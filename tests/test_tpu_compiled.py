@@ -168,7 +168,6 @@ def test_refresh_and_bc_pad_compiled_parity_all_bc_kinds():
     assert np.abs(g - r).max() / max(np.abs(r).max(), 1.0) < 2e-6
 
 
-@requires_tpu
 def _f64_oracle(script: str, inputs: dict):
     """Run the jnp-composite VJP oracle in FLOAT64 in a fresh CPU process
     and return the arrays it saves under ``out*.npy``.
@@ -209,6 +208,7 @@ def _f64_oracle(script: str, inputs: dict):
         return outs
 
 
+@requires_tpu
 def test_compiled_gradient_matches_f64_oracle():
     """Compiled jax.grad through 2 fused FE steps vs the jnp backward run in
     FLOAT64 on CPU (VERDICT r3 next #8a; strengthened in round 5 to an exact
