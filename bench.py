@@ -149,9 +149,10 @@ def _run_xla(lsm, phi, vel, dt, steps):
 
 def _run_grad(lsm, n, steps, dev, streamed):
     """value_and_grad of one fused FE step at n^3 (BENCH_GRAD=1): forward
-    Pallas stage + the round-4 Pallas backward (tile-local VJP). The jnp
-    backward cannot even compile at 512^3 (HBM OOM, ~16 GB of stencil
-    residuals), so this number exists only on the fused path."""
+    Pallas stage + the round-5 systolic Pallas backward (tile-exact VJP,
+    hand-derived WENO5 adjoint). The jnp backward cannot even compile at
+    512^3 (HBM OOM, ~16 GB of stencil residuals), so this number exists
+    only on the fused path."""
     from functools import partial
 
     from lsm_tpu.integrators.fused import FusedStepper, supports_fused

@@ -1,4 +1,5 @@
-"""Fused Pallas BACKWARD pass for the padded-state stage (round-4).
+"""Fused Pallas BACKWARD pass for the padded-state stage (round-4, rebuilt
+round-5: systolic accumulation + hand-derived WENO5 adjoint).
 
 Rounds 1-3 ran the backward of :func:`lsm_tpu.ops.weno_v2.fused_step_stage`
 as the VJP of the *jnp composite* recomputed from primals — correct, but it
